@@ -1,0 +1,128 @@
+"""Spectrogram U-Net (Flax), capability-parity with the reference model.
+
+Reference: ``/root/reference/code/model.py`` — a 4-level encoder/decoder with
+skip connections built from [Conv3x3 -> BatchNorm -> ReLU] x 2 blocks
+(``model.py:7-20``), conv-before-maxpool downsampling (``model.py:23-32``),
+ConvTranspose(k=2,s=2) upsampling with asymmetric zero-padding to re-match
+skip spatial dims (``model.py:35-50``), channel widths
+1->64->128->256->512, bottleneck 1024, and a final 1x1 conv back to one
+channel (``model.py:53-68``). 31,042,369 trainable parameters — asserted in
+``tests/test_unet.py``.
+
+TPU-first differences from the PyTorch original:
+
+- **NHWC layout** ``(batch, freq, time, channels)`` — the native layout for
+  TPU convolutions (channels ride the 128-wide lane dimension of the MXU).
+- **Mixed precision**: convolutions compute in ``dtype`` (bfloat16 by
+  default for the MXU) with float32 parameters; BatchNorm statistics stay
+  float32 for numeric stability.
+- Concatenation order, padding split, and no output activation replicate
+  the reference exactly, so a weight-converted checkpoint is layout-
+  transposed but otherwise 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DoubleConv(nn.Module):
+    """[Conv3x3(SAME) -> BatchNorm -> ReLU] x 2 (model.py:7-20)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (i.e. the
+            # running average keeps 0.9 of the old value per step).
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+            x = x.astype(self.dtype)
+        return x
+
+
+def _pad_to_match(x: jax.Array, target: jax.Array) -> jax.Array:
+    """Asymmetric zero-pad H/W of ``x`` up to ``target``'s (model.py:44-47)."""
+    dy = target.shape[1] - x.shape[1]
+    dx = target.shape[2] - x.shape[2]
+    if dy == 0 and dx == 0:
+        return x
+    return jnp.pad(
+        x,
+        ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)),
+    )
+
+
+class UNet(nn.Module):
+    """4-level magnitude-spectrogram U-Net, NHWC in/out with 1 channel.
+
+    Fully convolutional: accepts any (freq, time) at least 16 px on each
+    side, including the training shape (256, 64) and the whole-clip eval
+    shape (257, T) (``/root/reference/code/test.py:100-114``). Output is a
+    raw linear-magnitude regression (no activation), like the reference.
+    """
+
+    features: Sequence[int] = (64, 128, 256, 512)
+    bottleneck: int = 1024
+    out_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
+        skips = []
+        for i, f in enumerate(self.features):
+            x = DoubleConv(f, dtype=self.dtype, name=f"down{i}")(x, train)
+            skips.append(x)
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+        x = DoubleConv(self.bottleneck, dtype=self.dtype, name="bottleneck")(x, train)
+
+        for i, (f, skip) in enumerate(zip(reversed(self.features), reversed(skips))):
+            x = nn.ConvTranspose(
+                f,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"up{i}_deconv",
+            )(x)
+            x = _pad_to_match(x, skip)
+            # skip first, upsampled second — reference cat order (model.py:49)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = DoubleConv(f, dtype=self.dtype, name=f"up{i}_conv")(x, train)
+
+        x = nn.Conv(
+            self.out_channels,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out",
+        )(x)
+        return x.astype(in_dtype)
+
+
+def count_params(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
