@@ -1,0 +1,166 @@
+"""On-device input pipeline: noise mixing + STFT fused into one jitted step.
+
+This is the north-star redesign of the reference's offline featurization
+(SURVEY.md §7, BASELINE.json): instead of pre-corrupting every chunk on the
+CPU and writing ``.npy`` pairs (``create_train_dataset.py:181-258``), the
+clean 2 s chunks live in HBM and each training step draws a fresh random
+batch, synthesizes the corruption, and computes both magnitude spectrograms
+*inside the jitted graph* — no host round-trip, no disk, and fresh noise
+every epoch instead of one frozen corruption per chunk.
+
+Shapes are static throughout: chunks are fixed 16 000 samples, the bank of
+urban noise clips is padded to one rectangular array with per-clip valid
+lengths, and the output is the reference's (256, 64) training crop in NHWC.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import audiodenoiser_tpu.dsp.stft as stft_lib
+from audiodenoiser_tpu.dsp import noise as noise_lib
+
+
+class NoiseBank:
+    """Device-resident bank of noise clips with reference tile/snip semantics.
+
+    Clips shorter than ``target_len`` are tiled to exactly ``target_len`` at
+    build time (matching the deterministic tiling of
+    create_train_dataset.py:59-63); longer clips keep their length and get a
+    random snippet start at sample time (create_train_dataset.py:64-68).
+    """
+
+    def __init__(self, clips: Sequence[np.ndarray], target_len: int = 16000):
+        proc = []
+        for c in clips:
+            c = np.asarray(c, dtype=np.float32)
+            if len(c) == 0:
+                c = np.zeros(target_len, dtype=np.float32)
+            elif len(c) < target_len:
+                reps = int(np.ceil(target_len / len(c)))
+                c = np.tile(c, reps)[:target_len]
+            proc.append(c)
+        self.target_len = target_len
+        self.lengths = jnp.asarray([len(c) for c in proc], dtype=jnp.int32)
+        max_len = max(len(c) for c in proc)
+        bank = np.zeros((len(proc), max_len), dtype=np.float32)
+        for i, c in enumerate(proc):
+            bank[i, : len(c)] = c
+        self.bank = jnp.asarray(bank)
+
+    def __len__(self) -> int:
+        return int(self.bank.shape[0])
+
+    def sample(self, key: jax.Array, batch_size: int) -> jax.Array:
+        """Draw ``batch_size`` length-``target_len`` noise segments."""
+        k_clip, k_start = jax.random.split(key)
+        idx = jax.random.randint(k_clip, (batch_size,), 0, len(self))
+        lens = self.lengths[idx]
+        max_start = jnp.maximum(lens - self.target_len, 1)
+        starts = jax.random.randint(k_start, (batch_size,), 0, 2**30) % max_start
+        starts = jnp.where(lens <= self.target_len, 0, starts)
+        clips = self.bank[idx]
+
+        def snip(clip, start):
+            return jax.lax.dynamic_slice_in_dim(clip, start, self.target_len)
+
+        return jax.vmap(snip)(clips, starts)
+
+
+def pad_or_truncate_device(x: jax.Array, target: tuple[int, int]) -> jax.Array:
+    """Static-shape jnp port of data_loader._pad_or_truncate over (..., F, T)."""
+    th, tw = target
+    h, w = x.shape[-2], x.shape[-1]
+    x = x[..., : min(h, th), : min(w, tw)]
+    pads = [(0, 0)] * (x.ndim - 2) + [(0, max(0, th - h)), (0, max(0, tw - w))]
+    return jnp.pad(x, pads)
+
+
+class OnDeviceMixer:
+    """Fused sample->corrupt->STFT batch generator for one noise type."""
+
+    def __init__(
+        self,
+        clean_chunks: np.ndarray,  # (N, 16000)
+        noise_type: str,
+        noise_bank: NoiseBank | None = None,
+        n_fft: int = 512,
+        hop_length: int = 128,
+        target_size: tuple[int, int] = (256, 64),
+        snr_db: float = 8.0,
+        sample_rate: int = 8000,
+        reverb_wet_level: float = 0.33,
+        center: bool = False,
+        float16_roundtrip: bool = True,
+    ):
+        if noise_type not in ("white", "urban", "reverb", "noise_cancellation"):
+            raise ValueError(f"unknown noise type {noise_type!r}")
+        if noise_type == "urban" and noise_bank is None:
+            raise ValueError("urban mixing requires a NoiseBank")
+        self.clean = jnp.asarray(np.asarray(clean_chunks, dtype=np.float32))
+        self.noise_type = noise_type
+        self.bank = noise_bank
+        self.cfg = dict(
+            n_fft=n_fft,
+            hop_length=hop_length,
+            target_size=target_size,
+            snr_db=snr_db,
+            sample_rate=sample_rate,
+            reverb_wet_level=reverb_wet_level,
+            center=center,
+            float16_roundtrip=float16_roundtrip,
+        )
+
+    def __len__(self) -> int:
+        return int(self.clean.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
+    def sample(self, key: jax.Array, batch_size: int):
+        """(noisy, clean) NHWC float32 batches of ``target_size`` mags."""
+        cfg = self.cfg
+        k_idx, k_noise = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
+        clean = self.clean[idx]
+
+        nt = self.noise_type
+        if nt == "white":
+            keys = jax.random.split(k_noise, batch_size)
+            noisy = jax.vmap(lambda k, c: noise_lib.white(k, c, cfg["snr_db"]))(
+                keys, clean
+            )
+        elif nt == "urban":
+            k_bank, k_mix = jax.random.split(k_noise)
+            segs = self.bank.sample(k_bank, batch_size)
+            scaled = noise_lib.snr_scale(clean, segs, cfg["snr_db"])
+            noisy = jnp.clip(clean + scaled, -1.0, 1.0)
+        elif nt == "reverb":
+            noisy = noise_lib.reverb(
+                clean,
+                cfg["sample_rate"],
+                wet_level=cfg["reverb_wet_level"],
+            )
+        else:  # noise_cancellation
+            noisy = noise_lib.noise_cancellation(k_noise, clean)
+
+        def featurize(a):
+            mag = jnp.abs(
+                stft_lib.stft(
+                    a, cfg["n_fft"], cfg["hop_length"], center=cfg["center"]
+                )
+            )
+            if cfg["float16_roundtrip"]:  # data_loader.py:41-42 parity
+                mag = mag.astype(jnp.float16).astype(jnp.float32)
+            return pad_or_truncate_device(mag, cfg["target_size"])[..., None]
+
+        return featurize(noisy), featurize(clean)
+
+    def __hash__(self):  # jit static self
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

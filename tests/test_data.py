@@ -1,0 +1,229 @@
+"""Data layer: wav IO, chunking, npy dataset, on-device pipeline."""
+
+import jax
+import numpy as np
+import pytest
+
+from audiodenoiser_tpu.data import (
+    NoiseBank,
+    OnDeviceMixer,
+    SpectrogramPairs,
+    batches,
+    frame_audio,
+    load_wav_list,
+    match_audio_length,
+    pad_or_truncate,
+    read_wav,
+    split_train_val,
+    write_wav,
+)
+
+
+class TestWavIO:
+    def test_roundtrip_16bit(self, tmp_path, rng):
+        x = np.clip(rng.standard_normal(8000) * 0.3, -1, 1).astype(np.float32)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, x, 8000)
+        y, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+    def test_stereo_downmix(self, tmp_path):
+        from scipy.io import wavfile
+
+        stereo = np.stack(
+            [np.ones(100, np.float32), np.zeros(100, np.float32)], axis=1
+        )
+        p = str(tmp_path / "s.wav")
+        wavfile.write(p, 8000, stereo)
+        y, _ = read_wav(p)
+        np.testing.assert_allclose(y, 0.5, atol=1e-6)
+
+    def test_resample_44k_to_8k(self, tmp_path):
+        from scipy.io import wavfile
+
+        t = np.arange(44100) / 44100
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        p = str(tmp_path / "r.wav")
+        wavfile.write(p, 44100, x)
+        y, sr = read_wav(p, sample_rate=8000)
+        assert sr == 8000 and len(y) == 8000
+        # frequency is preserved: count zero crossings ~ 880/sec
+        zc = int(((y[:-1] * y[1:]) < 0).sum())
+        assert abs(zc - 880) < 12
+
+    def test_load_wav_list_sorted_and_filtered(self, tmp_path):
+        for name in ("b.wav", "a.WAV", "c.txt"):
+            (tmp_path / name).write_bytes(b"")
+        out = load_wav_list(str(tmp_path))
+        assert [p.split("/")[-1] for p in out] == ["a.WAV", "b.wav"]
+
+
+class TestChunking:
+    def test_frame_audio_matches_reference_loop(self, rng):
+        audio = rng.standard_normal(50000).astype(np.float32)
+        ours = frame_audio(audio, 16000, 16000)
+        # reference loop port (create_train_dataset.py:79-84)
+        ref, i = [], 0
+        while i + 16000 <= len(audio):
+            ref.append(audio[i : i + 16000])
+            i += 16000
+        np.testing.assert_array_equal(ours, np.stack(ref))
+
+    def test_frame_audio_short_input(self):
+        assert frame_audio(np.zeros(100), 16000).shape == (0, 16000)
+
+    def test_match_audio_length_modes(self, rng):
+        g = np.random.default_rng(1)
+        short = rng.standard_normal(3000).astype(np.float32)
+        out = match_audio_length(short, 7000, g)
+        np.testing.assert_array_equal(out[:3000], short)
+        np.testing.assert_array_equal(out[3000:6000], short)
+        exact = match_audio_length(short, 3000, g)
+        np.testing.assert_array_equal(exact, short)
+        long = rng.standard_normal(20000).astype(np.float32)
+        snip = match_audio_length(long, 5000, g)
+        assert len(snip) == 5000
+
+    @pytest.mark.parametrize(
+        "shape,expect",
+        [((257, 122), (256, 64)), ((100, 30), (256, 64)), ((300, 300), (256, 64))],
+    )
+    def test_pad_or_truncate(self, rng, shape, expect):
+        x = rng.standard_normal(shape).astype(np.float32)
+        out = pad_or_truncate(x)
+        assert out.shape == expect
+        h, w = min(shape[0], 256), min(shape[1], 64)
+        np.testing.assert_array_equal(out[:h, :w], x[:h, :w])
+        assert np.all(out[h:, :] == 0) and np.all(out[:, w:] == 0)
+
+    def test_pad_or_truncate_batched(self, rng):
+        x = rng.standard_normal((5, 257, 122)).astype(np.float32)
+        out = pad_or_truncate(x)
+        assert out.shape == (5, 256, 64)
+        np.testing.assert_array_equal(out[2], pad_or_truncate(x[2]))
+
+
+def _write_pairs(d, n=6, shape=(257, 122)):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        np.save(d / f"clean_white_chunk_{i}.npy", np.abs(rng.standard_normal(shape)).astype(np.float32))
+        np.save(d / f"noisy_white_chunk_{i}.npy", np.abs(rng.standard_normal(shape)).astype(np.float32))
+
+
+class TestSpectrogramPairs:
+    def test_pairs_and_shapes(self, tmp_path):
+        _write_pairs(tmp_path)
+        ds = SpectrogramPairs(str(tmp_path))
+        assert len(ds) == 6
+        noisy, clean = ds[0]
+        assert noisy.shape == clean.shape == (256, 64, 1)
+        assert noisy.dtype == np.float32
+
+    def test_float16_quirk(self, tmp_path):
+        _write_pairs(tmp_path, n=1)
+        with_q = SpectrogramPairs(str(tmp_path))[0][0]
+        without_q = SpectrogramPairs(str(tmp_path), float16_roundtrip=False)[0][0]
+        assert not np.array_equal(with_q, without_q)
+        np.testing.assert_allclose(with_q, without_q, rtol=1e-3)
+        # fp16 cast is idempotent on fp16-representable values
+        np.testing.assert_array_equal(
+            with_q, with_q.astype(np.float16).astype(np.float32)
+        )
+
+    def test_mismatch_asserts(self, tmp_path):
+        _write_pairs(tmp_path, n=2)
+        (tmp_path / "noisy_extra.npy").write_bytes(b"")
+        np.save(tmp_path / "noisy_extra.npy", np.zeros((2, 2), np.float32))
+        with pytest.raises(AssertionError):
+            SpectrogramPairs(str(tmp_path))
+
+    def test_subset_fraction(self, tmp_path):
+        _write_pairs(tmp_path, n=10)
+        ds = SpectrogramPairs(str(tmp_path), subset_fraction=0.3)
+        assert len(ds) == 3
+
+    def test_split_and_batches(self, tmp_path):
+        _write_pairs(tmp_path, n=10)
+        ds = SpectrogramPairs(str(tmp_path))
+        tr, va = split_train_val(len(ds), 0.1, seed=0)
+        assert len(tr) == 9 and len(va) == 1
+        assert set(tr) | set(va) == set(range(10))
+        got = list(batches(ds, tr, batch_size=4, shuffle=True, seed=1))
+        sizes = [b[0].shape[0] for b in got]
+        assert sizes == [4, 4, 1]  # partial trailing batch kept, like torch
+        assert got[0][0].shape[1:] == (256, 64, 1)
+        dropped = list(batches(ds, tr, batch_size=4, shuffle=False, drop_last=True))
+        assert [b[0].shape[0] for b in dropped] == [4, 4]
+
+
+class TestNoiseBank:
+    def test_short_clip_tiled_deterministically(self, rng):
+        clip = rng.standard_normal(3000).astype(np.float32)
+        bank = NoiseBank([clip], target_len=16000)
+        seg = np.asarray(bank.sample(jax.random.key(0), 4))
+        assert seg.shape == (4, 16000)
+        expect = np.tile(clip, 6)[:16000]
+        for i in range(4):
+            np.testing.assert_array_equal(seg[i], expect)
+
+    def test_long_clip_random_snippets(self, rng):
+        clip = rng.standard_normal(50000).astype(np.float32)
+        bank = NoiseBank([clip], target_len=16000)
+        seg = np.asarray(bank.sample(jax.random.key(0), 8))
+        # snippets are contiguous slices of the clip
+        for s in seg:
+            starts = np.flatnonzero(np.isclose(clip, s[0], atol=0))
+            assert any(
+                np.array_equal(clip[st : st + 16000], s) for st in starts
+            )
+
+
+class TestOnDeviceMixer:
+    @pytest.fixture(scope="class")
+    def chunks(self):
+        rng = np.random.default_rng(0)
+        return np.clip(rng.standard_normal((32, 16000)) * 0.2, -1, 1).astype(
+            np.float32
+        )
+
+    @pytest.mark.parametrize("nt", ["white", "reverb", "noise_cancellation"])
+    def test_shapes_all_types(self, chunks, nt):
+        mixer = OnDeviceMixer(chunks, nt)
+        noisy, clean = mixer.sample(jax.random.key(0), 4)
+        assert noisy.shape == clean.shape == (4, 256, 64, 1)
+        assert float(np.abs(np.asarray(noisy)).max()) > 0
+
+    def test_urban_with_bank(self, chunks, rng):
+        bank = NoiseBank([rng.standard_normal(9000).astype(np.float32)])
+        mixer = OnDeviceMixer(chunks, "urban", noise_bank=bank)
+        noisy, clean = mixer.sample(jax.random.key(0), 4)
+        assert noisy.shape == (4, 256, 64, 1)
+
+    def test_urban_requires_bank(self, chunks):
+        with pytest.raises(ValueError):
+            OnDeviceMixer(chunks, "urban")
+
+    def test_clean_spectrogram_matches_offline_path(self, chunks):
+        """The mixer's clean featurization must equal the offline builder's
+        (stft center=False -> fp16 roundtrip -> pad_or_truncate)."""
+        import jax.numpy as jnp
+
+        import audiodenoiser_tpu.dsp.stft as S
+
+        mixer = OnDeviceMixer(chunks, "white")
+        key = jax.random.key(7)
+        _, clean_mag = mixer.sample(key, 2)
+        idx = np.asarray(
+            jax.random.randint(jax.random.split(key)[0], (2,), 0, len(mixer))
+        )
+        ref = np.abs(np.asarray(S.stft(jnp.asarray(chunks[idx]), 512, 128, center=False)))
+        ref = ref.astype(np.float16).astype(np.float32)
+        ref = pad_or_truncate(ref)[..., None]
+        np.testing.assert_allclose(np.asarray(clean_mag), ref, atol=1e-5)
+
+    def test_fresh_noise_each_key(self, chunks):
+        mixer = OnDeviceMixer(chunks, "white")
+        a, _ = mixer.sample(jax.random.key(0), 2)
+        b, _ = mixer.sample(jax.random.key(1), 2)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
