@@ -1,0 +1,196 @@
+"""CLI: train a U-Net denoiser (flag-compatible with the reference).
+
+Reproduces every flag of ``/root/reference/code/train.py:41-59`` with
+identical defaults (``run_name`` = ``UNET_Run_{unix_time}``, epochs 50,
+batch 16, lr 1e-4, ``num_workers``, ``subset_fraction``) and resolves the
+reference's two integration breakages (SURVEY.md §1): a ``--noise_type``
+flag selects the ``train_processed/{nt}`` subfolder and names the exported
+model ``unet_denoiser_{nt}.ckpt``, and ``subset_fraction`` is actually
+honored by the dataset.
+
+Extensions over the reference: ``--pipeline on_device`` trains against
+fresh noise synthesized on the TPU every step (no .npy files needed, the
+BASELINE north star), ``--precision``, ``--resume``, and ``--seed``.
+
+Usage: ``python -m audiodenoiser_tpu.cli.train --base_dataset_path ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="U-NET Audio Denoising Training Script")
+    run_group = p.add_argument_group("Run & Path Configuration")
+    run_group.add_argument(
+        "--run_name", type=str, default=f"UNET_Run_{int(time.time())}",
+        help="A unique name for the training run.",
+    )
+    run_group.add_argument(
+        "--base_dataset_path", type=str, required=True,
+        help="Dataset root: a folder of clean/noisy .npy pairs, a "
+        "train_processed root with per-noise-type subfolders, or (with "
+        "--pipeline on_device) a folder of clean/noise wavs.",
+    )
+    run_group.add_argument(
+        "--output_path", type=str, default="./training_outputs_unet",
+        help="Directory to save models and logs.",
+    )
+    hyper = p.add_argument_group("Training Hyperparameters")
+    hyper.add_argument("--epochs", type=int, default=50)
+    hyper.add_argument("--batch_size", type=int, default=16)
+    hyper.add_argument("--learning_rate", type=float, default=1e-4)
+    hyper.add_argument(
+        "--num_workers", type=int, default=4,
+        help="Host prefetch depth (kept for reference-CLI compatibility).",
+    )
+    hyper.add_argument(
+        "--subset_fraction", type=float, default=1.0,
+        help="Fraction of the dataset to use (e.g., 0.1 for 10%%).",
+    )
+    ext = p.add_argument_group("TPU-native extensions")
+    ext.add_argument(
+        "--noise_type", type=str, default=None,
+        choices=["white", "urban", "reverb", "noise_cancellation"],
+        help="Train the specialized model for this noise type.",
+    )
+    ext.add_argument(
+        "--pipeline", choices=["npy", "on_device"], default="npy",
+        help="npy: load prebuilt spectrogram pairs; on_device: synthesize "
+        "noise + STFT inside the jitted step from clean wavs.",
+    )
+    ext.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    ext.add_argument("--resume", action="store_true")
+    ext.add_argument("--seed", type=int, default=0)
+    ext.add_argument(
+        "--steps_per_epoch", type=int, default=None,
+        help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
+    )
+    ext.add_argument(
+        "--export_dir", type=str, default=None,
+        help="Also export the best model as unet_denoiser_{noise_type}.ckpt "
+        "into this directory (the saved_models/ workflow of test.py).",
+    )
+    return p.parse_args(argv)
+
+
+def _resolve_npy_dir(base: str, noise_type: str | None) -> str:
+    """Find the folder of .npy pairs, resolving reference path conventions."""
+    candidates = []
+    if noise_type:
+        candidates += [
+            os.path.join(base, noise_type),
+            os.path.join(base, "train_processed", noise_type),
+            os.path.join(base, "train", noise_type),
+        ]
+    candidates += [base, os.path.join(base, "train")]
+    for c in candidates:
+        if os.path.isdir(c) and any(f.endswith(".npy") for f in os.listdir(c)):
+            return c
+    raise FileNotFoundError(
+        f"no .npy spectrogram pairs found under {base!r} "
+        f"(noise_type={noise_type!r}); run create_train_dataset first"
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from audiodenoiser_tpu.train.loop import FitConfig, fit
+
+    cfg = FitConfig(
+        run_name=args.run_name,
+        output_path=args.output_path,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        seed=args.seed,
+        precision=args.precision,
+        resume=args.resume,
+        extra_config=vars(args),
+    )
+
+    if args.pipeline == "npy":
+        from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
+
+        data_dir = _resolve_npy_dir(args.base_dataset_path, args.noise_type)
+        ds = SpectrogramPairs(
+            data_dir, subset_fraction=args.subset_fraction, seed=args.seed
+        )
+        tr_idx, va_idx = split_train_val(len(ds), 0.1, seed=args.seed)
+        print(
+            f"Dataset split: {len(tr_idx)} training samples, "
+            f"{len(va_idx)} validation samples."
+        )
+
+        def train_batches(epoch):
+            return batches(
+                ds, tr_idx, args.batch_size, shuffle=True,
+                seed=args.seed + epoch, prefetch=max(1, args.num_workers),
+            )
+
+        def val_batches():
+            return batches(ds, va_idx, args.batch_size, shuffle=False)
+
+    else:  # on_device
+        from audiodenoiser_tpu.data import NoiseBank, OnDeviceMixer
+        from audiodenoiser_tpu.data.builders import _load_clean_chunks
+        from audiodenoiser_tpu.data.wav_io import load_wav_list, read_wav
+
+        if args.noise_type is None:
+            raise SystemExit("--pipeline on_device requires --noise_type")
+        clean_dir = os.path.join(args.base_dataset_path, "clean")
+        noise_dir = os.path.join(args.base_dataset_path, "noise")
+        if not os.path.isdir(clean_dir):
+            clean_dir = args.base_dataset_path
+        chunks = _load_clean_chunks(load_wav_list(clean_dir), 8000, 16000)
+        if args.subset_fraction < 1.0:
+            keep = max(1, int(len(chunks) * args.subset_fraction))
+            chunks = chunks[:keep]
+        bank = None
+        if args.noise_type == "urban":
+            clips = [
+                read_wav(f, sample_rate=8000)[0] for f in load_wav_list(noise_dir)
+            ]
+            bank = NoiseBank(clips)
+        mixer = OnDeviceMixer(chunks, args.noise_type, noise_bank=bank)
+        n_steps = args.steps_per_epoch or max(1, len(mixer) // args.batch_size)
+        val_steps = max(1, n_steps // 10)
+        base_key = jax.random.key(args.seed)
+
+        def train_batches(epoch):
+            k = jax.random.fold_in(base_key, epoch)
+            for s in range(n_steps):
+                yield mixer.sample(jax.random.fold_in(k, s), args.batch_size)
+
+        def val_batches():
+            k = jax.random.fold_in(base_key, 10_000_019)
+            for s in range(val_steps):
+                yield mixer.sample(jax.random.fold_in(k, s), args.batch_size)
+
+        print(
+            f"On-device pipeline: {len(mixer)} clean chunks, "
+            f"{n_steps} steps/epoch, noise type {args.noise_type}."
+        )
+
+    result = fit(cfg, train_batches, val_batches)
+
+    if args.export_dir and args.noise_type:
+        import shutil
+
+        os.makedirs(args.export_dir, exist_ok=True)
+        dst = os.path.join(args.export_dir, f"unet_denoiser_{args.noise_type}.ckpt")
+        if os.path.exists(result["best_path"]):
+            shutil.copyfile(result["best_path"], dst)
+            print(f"Exported best model to {dst}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Checkpointing: orbax full train state + single-file model export.
+
+The reference only ever saves model weights — ``torch.save(state_dict)`` to
+``best_model.pth`` on validation improvement (``train.py:140-143``) — and
+never the optimizer, so resume is impossible. Here:
+
+- ``export_model`` writes a single msgpack file of {params, batch_stats}
+  — the ``.pth`` analog, named ``unet_denoiser_{noise}.ckpt`` by the eval
+  workflow (``test.py:15,59``);
+- ``save_train_state``/``restore_train_state`` keep the *full* optimizer +
+  BN + epoch state in an orbax directory so ``--resume`` works (a deliberate
+  capability extension documented in SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+import orbax.checkpoint as ocp
+
+
+def export_model(path: str, params: Any, batch_stats: Any) -> None:
+    payload = {"params": params, "batch_stats": batch_stats}
+    data = serialization.to_bytes(payload)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_exported(path: str, template: Any | None = None) -> dict:
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    payload = serialization.msgpack_restore(data)
+    return payload
+
+
+def save_train_state(ckpt_dir: str, state_tree: Any) -> None:
+    """Atomic orbax save of an arbitrary pytree (params/opt/bn/counters)."""
+    path = os.path.abspath(ckpt_dir)
+    checkpointer = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    state_tree = jax.device_get(state_tree)
+    checkpointer.save(path, state_tree)
+    checkpointer.wait_until_finished()
+
+
+def restore_train_state(ckpt_dir: str, template: Any) -> Any:
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(os.path.abspath(ckpt_dir), template)

@@ -1,0 +1,221 @@
+"""Training stack: optimizer parity, train/eval steps, fit loop, resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodenoiser_tpu.models import UNet
+from audiodenoiser_tpu.train import (
+    create_train_state,
+    eval_step,
+    export_model,
+    load_exported,
+    train_step,
+)
+from audiodenoiser_tpu.train.loop import FitConfig, fit
+
+
+@pytest.fixture
+def tiny_state():
+    # NOTE: train_step donates its input state, so a donated fixture state
+    # must never be shared across tests (function scope, not module).
+    model = UNet(features=(8, 16), bottleneck=32)
+    return create_train_state(
+        jax.random.key(0), model, learning_rate=1e-3, input_shape=(1, 32, 32, 1)
+    )
+
+
+def _batch(rng, b=2, f=32, t=32):
+    noisy = np.abs(rng.standard_normal((b, f, t, 1))).astype(np.float32)
+    clean = (noisy * 0.8).astype(np.float32)
+    return jnp.asarray(noisy), jnp.asarray(clean)
+
+
+class TestSteps:
+    def test_loss_decreases(self, tiny_state, rng):
+        state = tiny_state
+        noisy, clean = _batch(rng)
+        first = None
+        for _ in range(30):
+            state, losses = train_step(state, noisy, clean)
+            if first is None:
+                first = float(losses.total)
+        assert float(losses.total) < first
+
+    def test_step_counter_and_batch_stats(self, tiny_state, rng):
+        noisy, clean = _batch(rng)
+        step_before = int(tiny_state.step)  # read before donation
+        state2, _ = train_step(tiny_state, noisy, clean)
+        assert int(state2.step) == step_before + 1
+
+    def test_eval_step_returns_four_losses(self, tiny_state, rng):
+        noisy, clean = _batch(rng)
+        out = eval_step(tiny_state, noisy, clean)
+        total, s, m, l1 = out
+        np.testing.assert_allclose(
+            float(total), 0.4 * float(s) + 0.4 * float(m) + 0.2 * float(l1), rtol=1e-5
+        )
+
+    def test_grad_clip_bounds_update(self, rng):
+        """With clip_norm=1.0 and lr, a huge loss can't blow up params."""
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(
+            jax.random.key(0), model, learning_rate=1.0, input_shape=(1, 32, 32, 1)
+        )
+        noisy = jnp.ones((1, 32, 32, 1)) * 1e6
+        clean = jnp.zeros((1, 32, 32, 1))
+        new_state, _ = train_step(state, noisy, clean)
+        for p in jax.tree_util.tree_leaves(new_state.params):
+            assert np.all(np.isfinite(np.asarray(p)))
+
+
+class TestExport:
+    def test_export_load_roundtrip(self, tiny_state, tmp_path):
+        path = str(tmp_path / "m.ckpt")
+        export_model(path, jax.device_get(tiny_state.params), jax.device_get(tiny_state.batch_stats))
+        template = {
+            "params": jax.device_get(tiny_state.params),
+            "batch_stats": jax.device_get(tiny_state.batch_stats),
+        }
+        loaded = load_exported(path, template)
+        a = jax.tree_util.tree_leaves(loaded["params"])
+        b = jax.tree_util.tree_leaves(tiny_state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_load_without_template(self, tiny_state, tmp_path):
+        path = str(tmp_path / "m.ckpt")
+        export_model(path, jax.device_get(tiny_state.params), jax.device_get(tiny_state.batch_stats))
+        raw = load_exported(path)
+        assert "params" in raw and "batch_stats" in raw
+
+
+def _write_npy_dataset(d, n=8, shape=(70, 40)):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        clean = np.abs(rng.standard_normal(shape)).astype(np.float32)
+        noisy = clean + 0.3 * np.abs(rng.standard_normal(shape)).astype(np.float32)
+        np.save(d / f"clean_chunk_{i}.npy", clean)
+        np.save(d / f"noisy_chunk_{i}.npy", noisy)
+
+
+class TestFit:
+    def test_fit_end_to_end_and_resume(self, tmp_path, monkeypatch):
+        """Two epochs on a tiny npy dataset, then resume for a third."""
+        from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
+        import audiodenoiser_tpu.train.loop as loop_mod
+
+        # shrink the model for CPU test speed
+        monkeypatch.setattr(
+            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+        )
+
+        data_dir = tmp_path / "npy"
+        data_dir.mkdir()
+        _write_npy_dataset(data_dir)
+        ds = SpectrogramPairs(str(data_dir), target_size=(64, 32))
+        tr, va = split_train_val(len(ds), 0.25, seed=0)
+
+        def train_b(epoch):
+            return batches(ds, tr, 4, shuffle=True, seed=epoch)
+
+        def val_b():
+            return batches(ds, va, 4, shuffle=False)
+
+        cfg = FitConfig(
+            run_name="t1",
+            output_path=str(tmp_path / "out"),
+            epochs=2,
+            batch_size=4,
+            precision="f32",
+        )
+        res = fit(cfg, train_b, val_b)
+        run_dir = res["run_dir"]
+        assert os.path.exists(os.path.join(run_dir, "training.log"))
+        assert os.path.exists(res["best_path"])
+        assert os.path.exists(os.path.join(run_dir, "tensorboard_logs", "scalars.csv"))
+        assert len(res["history"]) == 2
+        assert np.isfinite(res["best_val"])
+
+        cfg2 = FitConfig(
+            run_name="t1",
+            output_path=str(tmp_path / "out"),
+            epochs=3,
+            batch_size=4,
+            precision="f32",
+            resume=True,
+        )
+        res2 = fit(cfg2, train_b, val_b)
+        # resumed: only epoch index 2 runs
+        assert [h["epoch"] for h in res2["history"]] == [2]
+
+    def test_fit_with_on_device_mixer(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.data import OnDeviceMixer
+
+        monkeypatch.setattr(
+            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+        )
+        rng = np.random.default_rng(0)
+        chunks = np.clip(rng.standard_normal((8, 16000)) * 0.2, -1, 1).astype(np.float32)
+        mixer = OnDeviceMixer(chunks, "white", target_size=(64, 32))
+        key = jax.random.key(0)
+
+        def train_b(epoch):
+            for s in range(2):
+                yield mixer.sample(jax.random.fold_in(key, epoch * 100 + s), 4)
+
+        def val_b():
+            yield mixer.sample(jax.random.fold_in(key, 999), 4)
+
+        cfg = FitConfig(
+            run_name="odm",
+            output_path=str(tmp_path / "out2"),
+            epochs=1,
+            batch_size=4,
+            precision="f32",
+        )
+        res = fit(cfg, train_b, val_b)
+        assert np.isfinite(res["best_val"])
+
+
+class TestTrainCLI:
+    def test_cli_npy_pipeline(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.train.loop as loop_mod
+
+        monkeypatch.setattr(
+            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+        )
+        from audiodenoiser_tpu.cli.train import main
+
+        data_dir = tmp_path / "white"
+        data_dir.mkdir()
+        _write_npy_dataset(data_dir, n=6, shape=(257, 122))
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "white",
+                "--output_path", str(tmp_path / "runs"),
+                "--run_name", "clirun",
+                "--epochs", "1",
+                "--batch_size", "2",
+                "--precision", "f32",
+                "--export_dir", str(tmp_path / "saved_models"),
+            ]
+        )
+        assert os.path.exists(tmp_path / "saved_models" / "unet_denoiser_white.ckpt")
+        assert os.path.exists(out["best_path"])
+
+    def test_cli_missing_dataset_errors(self, tmp_path):
+        from audiodenoiser_tpu.cli.train import main
+
+        with pytest.raises(FileNotFoundError):
+            main(
+                [
+                    "--base_dataset_path", str(tmp_path),
+                    "--epochs", "1",
+                ]
+            )
