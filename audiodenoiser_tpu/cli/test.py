@@ -1,0 +1,84 @@
+"""CLI: per-noise-type ensemble evaluation (reference-compatible).
+
+Mirrors ``/root/reference/code/test.py:181-199``: for each noise type, load
+the specialized checkpoint from ``saved_models/`` (skip with a message if
+missing) and evaluate on ``test_processed/``, emitting wavs, metrics txt,
+and spectrogram PNGs with reference-identical filenames.
+
+Usage: ``python -m audiodenoiser_tpu.cli.test [flags]``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Specialized per-noise-type evaluation")
+    p.add_argument("--test_data_dir", default="./data/test_processed")
+    p.add_argument("--saved_models_dir", default="./saved_models")
+    p.add_argument("--output_dir", default="./data/test_output_ensemble")
+    p.add_argument("--sample_rate", type=int, default=8000)
+    p.add_argument("--n_fft", type=int, default=512)
+    p.add_argument("--hop_length", type=int, default=128)
+    p.add_argument(
+        "--noise_types",
+        nargs="+",
+        default=["white", "urban", "reverb", "noise_cancellation"],
+    )
+    p.add_argument("--num_audio_examples", type=int, default=5)
+    p.add_argument(
+        "--gl_mode",
+        choices=["reference_gl", "griffin_lim"],
+        default="reference_gl",
+        help="reference_gl replicates test.py:39-46; griffin_lim is the "
+        "correct magnitude-reimposing algorithm.",
+    )
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import os
+
+    import jax.numpy as jnp
+
+    from audiodenoiser_tpu.eval.runner import (
+        load_model_for_noise,
+        test_single_noise_type,
+    )
+
+    print("Starting specialized test for each noise type...")
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = {}
+    for noise_type in args.noise_types:
+        try:
+            model, variables = load_model_for_noise(
+                noise_type,
+                args.saved_models_dir,
+                dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+            )
+        except FileNotFoundError:
+            print(f"Model for noise type '{noise_type}' not found. Skipping.")
+            continue
+        results[noise_type] = test_single_noise_type(
+            model,
+            variables,
+            noise_type,
+            test_data_dir=args.test_data_dir,
+            output_dir=args.output_dir,
+            sample_rate=args.sample_rate,
+            n_fft=args.n_fft,
+            hop_length=args.hop_length,
+            num_audio_examples=args.num_audio_examples,
+            gl_mode=args.gl_mode,
+            seed=args.seed,
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

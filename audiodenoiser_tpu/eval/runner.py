@@ -1,0 +1,258 @@
+"""Inference / evaluation: fused denoise graphs + reference-parity eval.
+
+Reference: ``/root/reference/code/test.py`` — per noise type it loads a
+specialized checkpoint (``test.py:54-68``), Griffin-Lim-reconstructs a few
+noisy clips on the CPU, pushes the whole test set through the model in one
+``no_grad`` forward, computes the combined loss, and writes
+``{nt}_metrics.txt`` / wavs / 3-panel magma PNGs (``test.py:74-175``).
+
+TPU-first redesign: ``DenoiserRunner`` compiles the *entire* pipeline —
+STFT -> U-Net -> reconstruction — into one jitted graph per input shape, so
+waveform-in/waveform-out denoising never leaves the device
+(BASELINE.json north star). Reconstruction modes:
+
+- ``noisy_phase``: denoised magnitude + the noisy input's phase, one iSTFT
+  (fast path; also the quality-preferred masking approach);
+- ``griffin_lim``: true Griffin-Lim from the denoised magnitude;
+- ``reference_gl``: the reference's non-magnitude-reimposing loop
+  (``test.py:39-46``), for behavioral parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import audiodenoiser_tpu.dsp.stft as stft_lib
+from audiodenoiser_tpu.dsp.griffin_lim import griffin_lim
+from audiodenoiser_tpu.eval.metrics import si_sdr
+from audiodenoiser_tpu.losses import combined_perceptual_loss
+from audiodenoiser_tpu.models import UNet
+from audiodenoiser_tpu.train.checkpoints import load_exported
+
+
+def load_model_for_noise(
+    noise_type: str,
+    saved_models_dir: str = "./saved_models",
+    dtype=jnp.bfloat16,
+    model: UNet | None = None,
+):
+    """Load ``unet_denoiser_{noise_type}.ckpt`` (test.py:54-68 analog)."""
+    path = os.path.join(saved_models_dir, f"unet_denoiser_{noise_type}.ckpt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Model file not found: {path}")
+    if model is None:
+        model = UNet(dtype=dtype)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+    )
+    template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
+    payload = load_exported(path, {"params": template["params"],
+                                   "batch_stats": template["batch_stats"]})
+    print(f"Loaded model for noise type '{noise_type}' from: {path}")
+    return model, {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+
+class DenoiserRunner:
+    """Jitted spectrogram-denoise and fused waveform-denoise graphs."""
+
+    def __init__(
+        self,
+        model: UNet,
+        variables,
+        n_fft: int = 512,
+        hop_length: int = 128,
+    ):
+        self.model = model
+        self.variables = variables
+        self.n_fft = n_fft
+        self.hop = hop_length
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def denoise_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
+        """(N, F, T) magnitudes -> (N, F, T) denoised magnitudes."""
+        out = self.model.apply(self.variables, noisy_mag[..., None], train=False)
+        return out[..., 0]
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "mode", "gl_iters", "center")
+    )
+    def denoise_audio(
+        self,
+        audio: jax.Array,  # (..., samples)
+        key: jax.Array,
+        mode: str = "noisy_phase",
+        gl_iters: int = 50,
+        center: bool = True,
+    ) -> jax.Array:
+        """Fused STFT -> U-Net -> reconstruction, one compiled graph."""
+        spec = stft_lib.stft(audio, self.n_fft, self.hop, center=center)
+        mag, phase = stft_lib.magphase(spec)
+        den = self.model.apply(self.variables, mag[..., None], train=False)[..., 0]
+        den = jnp.maximum(den, 0.0)  # magnitudes are non-negative
+        if mode == "noisy_phase":
+            rec = den.astype(jnp.complex64) * phase
+            return stft_lib.istft(
+                rec, self.hop, n_fft=self.n_fft, center=center,
+                length=audio.shape[-1],
+            )
+        if mode in ("griffin_lim", "reference_gl"):
+            gl_mode = "correct" if mode == "griffin_lim" else "reference"
+            return griffin_lim(
+                den, key, n_fft=self.n_fft, hop_length=self.hop,
+                n_iter=gl_iters, mode=gl_mode, length=audio.shape[-1],
+            )
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _plot_comparison(noisy, denoised, clean, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12, 6))
+    for pos, (spec, title) in enumerate(
+        [(noisy, "Noisy Spectrogram"), (denoised, "Denoised Spectrogram"),
+         (clean, "Clean Spectrogram")],
+        start=1,
+    ):
+        plt.subplot(1, 3, pos)
+        plt.title(title)
+        plt.imshow(spec, aspect="auto", origin="lower", cmap="magma")
+        plt.colorbar(format="%+2.0f dB")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+
+
+def test_single_noise_type(
+    model: UNet,
+    variables,
+    noise_type: str,
+    test_data_dir: str,
+    output_dir: str,
+    sample_rate: int = 8000,
+    n_fft: int = 512,
+    hop_length: int = 128,
+    num_audio_examples: int = 5,
+    gl_mode: str = "reference_gl",
+    seed: int = 0,
+    compute_si_sdr: bool = True,
+) -> Optional[dict]:
+    """Reference-parity per-noise-type evaluation (test.py:74-175).
+
+    Writes {nt}_noisy_{i}.wav, {nt}_denoised_{i}.wav, {nt}_metrics.txt, and
+    {nt}_spectrogram_{i}.png with reference-identical names; returns the
+    metric dict (plus SI-SDR, an extension).
+    """
+    from audiodenoiser_tpu.data.wav_io import write_wav
+
+    print(f"\n=== Testing model on noise type: {noise_type} ===")
+    clean_path = os.path.join(test_data_dir, f"clean_{noise_type}.npy")
+    noisy_path = os.path.join(test_data_dir, f"noisy_{noise_type}.npy")
+    if not (os.path.exists(clean_path) and os.path.exists(noisy_path)):
+        print(f"Skipping {noise_type}, missing {clean_path} or {noisy_path}")
+        return None
+
+    clean = np.load(clean_path)  # (N, F, T)
+    noisy = np.load(noisy_path)
+    n = len(noisy)
+    print(f"Found {n} test samples for noise type '{noise_type}'")
+    os.makedirs(output_dir, exist_ok=True)
+
+    runner = DenoiserRunner(model, variables, n_fft, hop_length)
+    key = jax.random.key(seed)
+
+    # few noisy reconstructions (test.py:103-109)
+    k = min(num_audio_examples, n)
+    if k > 0:
+        noisy_audio = np.asarray(
+            griffin_lim(
+                jnp.asarray(noisy[:k]), key,
+                n_fft=n_fft, hop_length=hop_length, n_iter=50,
+                mode="reference" if gl_mode == "reference_gl" else "correct",
+            )
+        )
+        for i in range(k):
+            write_wav(
+                os.path.join(output_dir, f"{noise_type}_noisy_{i}.wav"),
+                noisy_audio[i], sample_rate,
+            )
+
+    # whole-set forward in one call (test.py:112-114)
+    denoised = np.asarray(runner.denoise_spectrogram(jnp.asarray(noisy)))
+
+    total, s, m, l1 = combined_perceptual_loss(
+        jnp.asarray(denoised)[..., None], jnp.asarray(clean)[..., None]
+    )
+    metrics = {
+        "total": float(total), "stft": float(s), "mel": float(m), "l1": float(l1)
+    }
+    print(f"\nLoss metrics for noise type '{noise_type}':")
+    print(f"Total Loss: {metrics['total']:.6f}")
+    print(f"STFT Loss: {metrics['stft']:.6f}")
+    print(f"Mel Loss: {metrics['mel']:.6f}")
+    print(f"L1 Loss: {metrics['l1']:.6f}")
+
+    if compute_si_sdr and k > 0:
+        # SI-SDR of denoised-vs-clean reconstructions (noisy-phase fusion
+        # for determinism), a quality extension over the reference
+        clean_audio = np.asarray(
+            stft_lib.istft(
+                jnp.asarray(clean[:k]).astype(jnp.complex64),
+                hop_length, n_fft=n_fft, center=True,
+            )
+        )
+        den_audio = np.asarray(
+            stft_lib.istft(
+                jnp.asarray(denoised[:k]).astype(jnp.complex64),
+                hop_length, n_fft=n_fft, center=True,
+            )
+        )
+        metrics["si_sdr"] = float(
+            np.mean(np.asarray(si_sdr(jnp.asarray(den_audio), jnp.asarray(clean_audio))))
+        )
+        print(f"SI-SDR (mag-only recon): {metrics['si_sdr']:.3f} dB")
+
+    with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
+        f.write(f"Perceptual metrics for noise type '{noise_type}':\n")
+        f.write(f"Total Loss: {metrics['total']:.6f}\n")
+        f.write(f"STFT Loss: {metrics['stft']:.6f}\n")
+        f.write(f"Mel Loss: {metrics['mel']:.6f}\n")
+        f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
+        if "si_sdr" in metrics:
+            f.write(f"SI-SDR: {metrics['si_sdr']:.3f} dB\n")
+
+    # denoised reconstructions (test.py:141-148)
+    if k > 0:
+        den_audio_gl = np.asarray(
+            griffin_lim(
+                jnp.asarray(np.maximum(denoised[:k], 0.0)), key,
+                n_fft=n_fft, hop_length=hop_length, n_iter=50,
+                mode="reference" if gl_mode == "reference_gl" else "correct",
+            )
+        )
+        for i in range(k):
+            write_wav(
+                os.path.join(output_dir, f"{noise_type}_denoised_{i}.wav"),
+                den_audio_gl[i], sample_rate,
+            )
+
+    for i in range(k):
+        _plot_comparison(
+            noisy[i], denoised[i], clean[i],
+            os.path.join(output_dir, f"{noise_type}_spectrogram_{i}.png"),
+        )
+    return metrics

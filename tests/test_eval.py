@@ -1,0 +1,153 @@
+"""Evaluation stack: SI-SDR, fused runner graphs, reference-parity artifacts."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodenoiser_tpu.eval.metrics import si_sdr
+from audiodenoiser_tpu.eval.runner import (
+    DenoiserRunner,
+    load_model_for_noise,
+)
+from audiodenoiser_tpu.eval.runner import test_single_noise_type as run_noise_eval
+from audiodenoiser_tpu.models import UNet
+from audiodenoiser_tpu.train import create_train_state, export_model
+
+
+class TestSiSdr:
+    def test_perfect_estimate(self, rng):
+        x = jnp.asarray(rng.standard_normal(4000).astype(np.float32))
+        assert float(si_sdr(x, x)) > 70
+
+    def test_scale_invariance(self, rng):
+        ref = jnp.asarray(rng.standard_normal(4000).astype(np.float32))
+        est = ref + 0.2 * jnp.asarray(rng.standard_normal(4000).astype(np.float32))
+        np.testing.assert_allclose(
+            float(si_sdr(3.7 * est, ref)), float(si_sdr(est, ref)), atol=1e-3
+        )
+
+    def test_matches_manual_numpy(self, rng):
+        ref = rng.standard_normal(4000).astype(np.float32)
+        est = (ref + 0.3 * rng.standard_normal(4000)).astype(np.float32)
+        ours = float(si_sdr(jnp.asarray(est), jnp.asarray(ref)))
+        alpha = np.dot(est, ref) / np.dot(ref, ref)
+        target = alpha * ref
+        manual = 10 * np.log10(np.sum(target**2) / np.sum((est - target) ** 2))
+        np.testing.assert_allclose(ours, manual, atol=1e-3)
+
+    def test_batched(self, rng):
+        ref = rng.standard_normal((3, 2000)).astype(np.float32)
+        est = ref + 0.1 * rng.standard_normal((3, 2000)).astype(np.float32)
+        out = np.asarray(si_sdr(jnp.asarray(est), jnp.asarray(ref)))
+        assert out.shape == (3,)
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    model = UNet(features=(4, 8), bottleneck=16)
+    state = create_train_state(
+        jax.random.key(0), model, input_shape=(1, 32, 32, 1)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return DenoiserRunner(model, variables)
+
+
+class TestDenoiserRunner:
+    def test_denoise_spectrogram_shape(self, tiny_runner, rng):
+        mags = jnp.asarray(np.abs(rng.standard_normal((3, 257, 64))).astype(np.float32))
+        out = tiny_runner.denoise_spectrogram(mags)
+        assert out.shape == (3, 257, 64)
+
+    @pytest.mark.parametrize("mode", ["noisy_phase", "griffin_lim", "reference_gl"])
+    def test_fused_audio_modes(self, tiny_runner, rng, mode):
+        audio = jnp.asarray(
+            np.clip(rng.standard_normal((2, 8000)) * 0.2, -1, 1).astype(np.float32)
+        )
+        out = tiny_runner.denoise_audio(
+            audio, jax.random.key(0), mode=mode, gl_iters=3
+        )
+        assert out.shape == audio.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_unknown_mode_raises(self, tiny_runner):
+        with pytest.raises(ValueError):
+            tiny_runner.denoise_audio(
+                jnp.zeros((1, 4000)), jax.random.key(0), mode="nope"
+            )
+
+    def test_identity_model_noisy_phase_roundtrips(self, rng):
+        """With a forced-identity network the fused noisy_phase path must
+        reduce to istft(stft(x)) ~= x — validates the graph wiring."""
+
+        class Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        audio = jnp.asarray(
+            np.clip(rng.standard_normal(8000) * 0.2, -1, 1).astype(np.float32)
+        )
+        runner = DenoiserRunner(Identity(), {})
+        out = np.asarray(
+            runner.denoise_audio(audio, jax.random.key(0), mode="noisy_phase")
+        )
+        # interior exact; final hop window-starved
+        np.testing.assert_allclose(out[:7680], np.asarray(audio)[:7680], atol=1e-3)
+
+
+class TestEvalArtifacts:
+    def test_load_model_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_model_for_noise("white", str(tmp_path))
+
+    def test_export_then_load(self, tmp_path):
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        export_model(
+            str(tmp_path / "unet_denoiser_white.ckpt"),
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+        )
+        m, variables = load_model_for_noise("white", str(tmp_path), model=model)
+        out = m.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+        assert out.shape == (1, 64, 64, 1)
+
+    def test_test_single_noise_type_artifacts(self, tmp_path, rng):
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        data_dir, out_dir = tmp_path / "data", tmp_path / "out"
+        data_dir.mkdir()
+        clean = np.abs(rng.standard_normal((3, 257, 60))).astype(np.float32)
+        noisy = clean + 0.3 * np.abs(rng.standard_normal((3, 257, 60))).astype(np.float32)
+        np.save(data_dir / "clean_white.npy", clean)
+        np.save(data_dir / "noisy_white.npy", noisy)
+
+        metrics = run_noise_eval(
+            model, variables, "white",
+            test_data_dir=str(data_dir), output_dir=str(out_dir),
+            num_audio_examples=2, seed=0,
+        )
+        assert metrics is not None
+        for key in ("total", "stft", "mel", "l1", "si_sdr"):
+            assert np.isfinite(metrics[key])
+        files = set(os.listdir(out_dir))
+        expect = {
+            "white_metrics.txt",
+            "white_noisy_0.wav", "white_noisy_1.wav",
+            "white_denoised_0.wav", "white_denoised_1.wav",
+            "white_spectrogram_0.png", "white_spectrogram_1.png",
+        }
+        assert expect <= files
+        txt = (out_dir / "white_metrics.txt").read_text()
+        assert "Total Loss:" in txt and "Mel Loss:" in txt
+
+    def test_missing_data_returns_none(self, tmp_path):
+        model = UNet(features=(4, 8), bottleneck=16)
+        out = run_noise_eval(
+            model, {}, "urban",
+            test_data_dir=str(tmp_path), output_dir=str(tmp_path / "o"),
+        )
+        assert out is None
