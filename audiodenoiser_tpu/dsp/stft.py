@@ -130,6 +130,21 @@ def stft(
     w = _resolve_window(window, win_length, n_fft)
     if center:
         x = _pad_signal(x, n_fft, pad_mode)
+    if precision == "pallas":
+        # fused framing+window+DFT TPU kernel (interpret mode off-TPU)
+        from audiodenoiser_tpu.ops.pallas import stft_pallas
+
+        batch_shape = x.shape[:-1]
+        xb = x.reshape(-1, x.shape[-1])
+        re, im = stft_pallas(
+            xb,
+            jnp.asarray(w),
+            n_fft,
+            hop_length,
+            interpret=jax.default_backend() == "cpu",
+        )
+        spec = jax.lax.complex(re, im)
+        return spec.reshape(*batch_shape, *spec.shape[-2:])
     frames = frame_signal(x, n_fft, hop_length)  # (..., t, n_fft)
     if precision == "matmul":
         cos_b, sin_b = _rdft_basis(n_fft)

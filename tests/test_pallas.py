@@ -1,0 +1,60 @@
+"""Pallas kernel parity (interpret mode on CPU; compiled path on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import audiodenoiser_tpu.dsp.stft as S
+from audiodenoiser_tpu.dsp.window import hann_window
+from audiodenoiser_tpu.ops.pallas import overlap_add_pallas, stft_pallas
+
+
+class TestStftKernel:
+    def test_matches_fft_path_batched(self, rng):
+        x = rng.standard_normal((3, 16000)).astype(np.float32)
+        w = hann_window(512)
+        re, im = stft_pallas(jnp.asarray(x), jnp.asarray(w), 512, 128, interpret=True)
+        ref = np.asarray(S.stft(jnp.asarray(x), 512, 128, center=False))
+        assert re.shape == im.shape == ref.shape == (3, 257, 122)
+        np.testing.assert_allclose(np.asarray(re), ref.real, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(im), ref.imag, atol=5e-3)
+
+    def test_via_stft_precision_flag(self, rng):
+        x = rng.standard_normal((2, 8000)).astype(np.float32)
+        a = np.asarray(S.stft(jnp.asarray(x), 512, 128, center=True, precision="pallas"))
+        b = np.asarray(S.stft(jnp.asarray(x), 512, 128, center=True))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_rectangular_window(self, rng):
+        x = rng.standard_normal((2, 2048)).astype(np.float32)
+        w = np.ones(512, np.float32)
+        re, im = stft_pallas(jnp.asarray(x), jnp.asarray(w), 512, 128, interpret=True)
+        ref = np.asarray(
+            S.stft(jnp.asarray(x), 512, 128, window="ones", center=False)
+        )
+        np.testing.assert_allclose(np.asarray(re), ref.real, atol=5e-3)
+
+    def test_rejects_unbatched(self):
+        with pytest.raises(ValueError):
+            stft_pallas(jnp.zeros(4000), jnp.zeros(512), interpret=True)
+
+
+class TestOverlapAddKernel:
+    def test_matches_xla_overlap_add(self, rng):
+        frames = rng.standard_normal((4, 10, 512)).astype(np.float32)
+        ours = np.asarray(overlap_add_pallas(jnp.asarray(frames), 128, interpret=True))
+        ref = np.asarray(S.overlap_add(jnp.asarray(frames), 128))
+        assert ours.shape == ref.shape == (4, 9 * 128 + 512)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_non_divisible_hop(self, rng):
+        frames = rng.standard_normal((2, 6, 512)).astype(np.float32)
+        ours = np.asarray(overlap_add_pallas(jnp.asarray(frames), 100, interpret=True))
+        ref = np.asarray(S.overlap_add(jnp.asarray(frames), 100))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_rejects_unbatched(self):
+        with pytest.raises(ValueError):
+            overlap_add_pallas(jnp.zeros((10, 512)), 128, interpret=True)
