@@ -70,6 +70,10 @@ def parse_args(argv=None):
         help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
     )
     ext.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="Capture a jax.profiler trace of the run into this directory.",
+    )
+    ext.add_argument(
         "--export_dir", type=str, default=None,
         help="Also export the best model as unet_denoiser_{noise_type}.ckpt "
         "into this directory (the saved_models/ workflow of test.py).",
@@ -179,7 +183,10 @@ def main(argv=None):
             f"{n_steps} steps/epoch, noise type {args.noise_type}."
         )
 
-    result = fit(cfg, train_batches, val_batches)
+    from audiodenoiser_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        result = fit(cfg, train_batches, val_batches)
 
     if args.export_dir and args.noise_type:
         import shutil
