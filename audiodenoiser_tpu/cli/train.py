@@ -144,7 +144,7 @@ def main(argv=None):
 
     else:  # on_device
         from audiodenoiser_tpu.data import NoiseBank, OnDeviceMixer
-        from audiodenoiser_tpu.data.builders import _load_clean_chunks
+        from audiodenoiser_tpu.data.builders import load_clean_chunks
         from audiodenoiser_tpu.data.wav_io import load_wav_list, read_wav
 
         if args.noise_type is None:
@@ -153,7 +153,7 @@ def main(argv=None):
         noise_dir = os.path.join(args.base_dataset_path, "noise")
         if not os.path.isdir(clean_dir):
             clean_dir = args.base_dataset_path
-        chunks = _load_clean_chunks(load_wav_list(clean_dir), 8000, 16000)
+        chunks = load_clean_chunks(load_wav_list(clean_dir), 8000, 16000)
         if args.subset_fraction < 1.0:
             keep = max(1, int(len(chunks) * args.subset_fraction))
             chunks = chunks[:keep]

@@ -82,6 +82,21 @@ def _load_clean_chunks(
     return np.concatenate(all_chunks, axis=0)
 
 
+def load_clean_chunks(
+    clean_files: Sequence[str], sample_rate: int, chunk_samples: int
+) -> np.ndarray:
+    """Decode+resample+chunk clean files, preferring the native C++ runtime
+    (parallel across files; see native/audioio.cpp) with scipy fallback."""
+    from audiodenoiser_tpu.data import native
+
+    if native.available():
+        try:
+            return native.load_batch(list(clean_files), sample_rate, chunk_samples)
+        except IOError:
+            pass  # e.g. an exotic wav subtype: fall back per-file
+    return _load_clean_chunks(clean_files, sample_rate, chunk_samples)
+
+
 def build_train_dataset(
     clean_dir: str,
     noise_dir: str,
@@ -106,7 +121,7 @@ def build_train_dataset(
     if debug_dir:
         os.makedirs(debug_dir, exist_ok=True)
 
-    chunks = _load_clean_chunks(clean_files, sample_rate, chunk_samples)
+    chunks = load_clean_chunks(clean_files, sample_rate, chunk_samples)
     n = len(chunks)
     if n == 0:
         return 0
