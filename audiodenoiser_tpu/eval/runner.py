@@ -42,8 +42,25 @@ def load_model_for_noise(
     dtype=jnp.bfloat16,
     model: UNet | None = None,
 ):
-    """Load ``unet_denoiser_{noise_type}.ckpt`` (test.py:54-68 analog)."""
+    """Load the specialized model (test.py:54-68 analog).
+
+    Accepts this framework's ``unet_denoiser_{nt}.ckpt`` msgpack export OR a
+    reference ``unet_denoiser_{nt}.pth`` torch state_dict (converted on the
+    fly via ``train.torch_import``) — drop-in for existing ensembles.
+    """
     path = os.path.join(saved_models_dir, f"unet_denoiser_{noise_type}.ckpt")
+    pth_path = os.path.join(saved_models_dir, f"unet_denoiser_{noise_type}.pth")
+    if not os.path.exists(path) and os.path.exists(pth_path):
+        from audiodenoiser_tpu.train.torch_import import load_pth
+
+        payload = load_pth(pth_path)
+        if model is None:
+            model = UNet(dtype=dtype)
+        print(f"Loaded model for noise type '{noise_type}' from: {pth_path}")
+        return model, {
+            "params": payload["params"],
+            "batch_stats": payload["batch_stats"],
+        }
     if not os.path.exists(path):
         raise FileNotFoundError(f"Model file not found: {path}")
     if model is None:
