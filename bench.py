@@ -17,7 +17,7 @@ import json
 import time
 
 
-def run_bench(batch_size: int = 64, clip_seconds: float = 2.0, iters: int = 20,
+def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase") -> dict:
     import jax
     import jax.numpy as jnp
@@ -64,7 +64,7 @@ def run_bench(batch_size: int = 64, clip_seconds: float = 2.0, iters: int = 20,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--clip_seconds", type=float, default=2.0)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="noisy_phase",

@@ -1,0 +1,47 @@
+"""Provisioning CLI: archive flatten + train/test split (install.ps1 analog)."""
+
+import os
+import zipfile
+
+import numpy as np
+
+from audiodenoiser_tpu.cli.install import main, provision
+from audiodenoiser_tpu.data.wav_io import write_wav
+
+
+def _make_archive(tmp_path, n=8):
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    zpath = tmp_path / "IRMAS-TrainingData.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for i in range(n):
+            wav = src / f"clip_{i}.wav"
+            write_wav(str(wav), rng.standard_normal(4000) * 0.1, 8000)
+            # nested dirs like the IRMAS archive (cel/, cla/, ...)
+            zf.write(wav, arcname=f"IRMAS-TrainingData/ins{i % 3}/clip_{i}.wav")
+        zf.writestr("IRMAS-TrainingData/README.txt", "not audio")
+    return str(zpath)
+
+
+class TestProvision:
+    def test_flatten_and_split(self, tmp_path):
+        archive = _make_archive(tmp_path)
+        data_dir = str(tmp_path / "data")
+        n_train, n_test = provision(archive, data_dir, test_count=3, seed=0)
+        assert (n_train, n_test) == (5, 3)
+        train = os.listdir(os.path.join(data_dir, "train", "clean"))
+        test = os.listdir(os.path.join(data_dir, "test", "clean"))
+        assert len(train) == 5 and len(test) == 3
+        assert all(f.endswith(".wav") for f in train + test)
+        assert os.path.isdir(os.path.join(data_dir, "train", "noise"))
+
+    def test_cli_with_local_archive(self, tmp_path, capsys):
+        archive = _make_archive(tmp_path)
+        main(["--archive", archive, "--data_dir", str(tmp_path / "d"), "--seed", "1"])
+        assert "Provisioned 3 train and 5 test" in capsys.readouterr().out
+
+    def test_small_archive_caps_test_count(self, tmp_path):
+        archive = _make_archive(tmp_path, n=2)
+        n_train, n_test = provision(archive, str(tmp_path / "d2"), test_count=5)
+        assert n_train == 0 and n_test == 2
