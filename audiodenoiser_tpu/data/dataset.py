@@ -103,18 +103,21 @@ def batches(
     stop = object()
 
     def worker():
-        for s in range(0, len(idx), batch_size):
-            chunk = idx[s : s + batch_size]
-            if len(chunk) < batch_size and drop_last:
-                break
-            items = [dataset[int(i)] for i in chunk]
-            q.put(
-                (
-                    np.stack([a for a, _ in items]),
-                    np.stack([b for _, b in items]),
+        try:
+            for s in range(0, len(idx), batch_size):
+                chunk = idx[s : s + batch_size]
+                if len(chunk) < batch_size and drop_last:
+                    break
+                items = [dataset[int(i)] for i in chunk]
+                q.put(
+                    (
+                        np.stack([a for a, _ in items]),
+                        np.stack([b for _, b in items]),
+                    )
                 )
-            )
-        q.put(stop)
+            q.put(stop)
+        except BaseException as e:  # surface loader failures to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -122,4 +125,6 @@ def batches(
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

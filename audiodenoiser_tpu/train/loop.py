@@ -225,6 +225,13 @@ def fit(
             f"Epoch {epoch + 1}/{config.epochs} -> Train Loss: {train_loss:.6f} | "
             f"Validation Loss: {val_loss:.6f} | {dt:.1f}s"
         )
+        if not np.isfinite(train_loss):
+            # failure detection (SURVEY.md §5): stop before writing a
+            # poisoned checkpoint; the last good orbax state allows --resume
+            logger.error("Non-finite training loss; aborting run.")
+            raise FloatingPointError(
+                f"training diverged at epoch {epoch} (loss={train_loss})"
+            )
         history.append({"epoch": epoch, "train": train_loss, "val": val_loss})
 
         if val_loss < best_val:

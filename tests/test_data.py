@@ -227,3 +227,15 @@ class TestOnDeviceMixer:
         a, _ = mixer.sample(jax.random.key(0), 2)
         b, _ = mixer.sample(jax.random.key(1), 2)
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestBatchesErrorPropagation:
+    def test_worker_exception_reraised(self, tmp_path):
+        _write_pairs(tmp_path, n=4)
+        ds = SpectrogramPairs(str(tmp_path))
+        # corrupt one file after listing so __getitem__ fails mid-epoch
+        bad = ds.pairs[2][0]
+        with open(bad, "wb") as f:
+            f.write(b"not an npy")
+        with pytest.raises(Exception):
+            list(batches(ds, range(4), batch_size=2, shuffle=False))

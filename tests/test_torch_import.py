@@ -105,3 +105,35 @@ class TestPthDropIn:
         main(["--saved_models_dir", str(tmp_path)])
         assert "converted" in capsys.readouterr().out
         assert os.path.exists(str(tmp_path / "unet_denoiser_urban.ckpt"))
+
+
+class TestQualityParity:
+    def test_si_sdr_within_tenth_db_of_torch_reference(self, torch_model, converted, rng):
+        """BASELINE.md quality gate: denoising the same noisy spectrograms
+        with the same weights, the JAX path's SI-SDR (magnitude-only
+        reconstruction) must sit within 0.1 dB of the torch reference's."""
+        import audiodenoiser_tpu.dsp.stft as S
+        from audiodenoiser_tpu.eval.metrics import si_sdr
+
+        clean = np.abs(rng.standard_normal((2, 257, 60))).astype(np.float32)
+        noisy = (clean + 0.3 * np.abs(rng.standard_normal((2, 257, 60)))).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            den_t = torch_model(torch.from_numpy(noisy).unsqueeze(1)).squeeze(1).numpy()
+        model = UNet()
+        den_j = np.asarray(
+            model.apply(
+                {"params": converted["params"], "batch_stats": converted["batch_stats"]},
+                jnp.asarray(noisy)[..., None],
+                train=False,
+            )
+        )[..., 0]
+
+        def recon_sisdr(den):
+            audio = S.istft(jnp.asarray(den).astype(jnp.complex64), 128, center=True)
+            ref_audio = S.istft(jnp.asarray(clean).astype(jnp.complex64), 128, center=True)
+            return float(np.mean(np.asarray(si_sdr(audio, ref_audio))))
+
+        a, b = recon_sisdr(den_j), recon_sisdr(den_t)
+        assert abs(a - b) < 0.1, (a, b)

@@ -219,3 +219,24 @@ class TestTrainCLI:
                     "--epochs", "1",
                 ]
             )
+
+
+class TestFailureDetection:
+    def test_fit_aborts_on_nonfinite_loss(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.train.loop as loop_mod
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype),
+        )
+
+        def nan_batches(epoch):
+            bad = np.full((2, 64, 32, 1), np.nan, np.float32)
+            yield bad, bad
+
+        cfg = FitConfig(
+            run_name="nanrun", output_path=str(tmp_path / "o"),
+            epochs=2, batch_size=2, precision="f32",
+        )
+        with pytest.raises(FloatingPointError):
+            fit(cfg, nan_batches, lambda: iter(()))
