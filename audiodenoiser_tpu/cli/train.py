@@ -54,13 +54,19 @@ def parse_args(argv=None):
     ext = p.add_argument_group("TPU-native extensions")
     ext.add_argument(
         "--noise_type", type=str, default=None,
-        choices=["white", "urban", "reverb", "noise_cancellation"],
-        help="Train the specialized model for this noise type.",
+        choices=["white", "urban", "reverb", "noise_cancellation", "all"],
+        help="Train the specialized model for this noise type ('all' trains "
+        "the full four-model ensemble sequentially).",
     )
     ext.add_argument(
         "--pipeline", choices=["npy", "on_device"], default="npy",
         help="npy: load prebuilt spectrogram pairs; on_device: synthesize "
         "noise + STFT inside the jitted step from clean wavs.",
+    )
+    ext.add_argument(
+        "--model", choices=["unet", "complex_mask"], default="unet",
+        help="unet: magnitude regression (reference parity); complex_mask: "
+        "complex-ratio-mask variant (requires --pipeline on_device).",
     )
     ext.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     ext.add_argument("--resume", action="store_true")
@@ -103,6 +109,21 @@ def _resolve_npy_dir(base: str, noise_type: str | None) -> str:
 def main(argv=None):
     args = parse_args(argv)
 
+    if args.noise_type == "all":
+        # the reference's implied workflow (SURVEY.md §1 breakage 2): one
+        # specialized training run per noise type
+        argv = argv if argv is not None else __import__("sys").argv[1:]
+        results = {}
+        for nt in ("white", "urban", "reverb", "noise_cancellation"):
+            sub = list(argv)
+            i = sub.index("--noise_type")
+            sub[i + 1] = nt
+            if "--run_name" in sub:
+                j = sub.index("--run_name")
+                sub[j + 1] = f"{sub[j + 1]}_{nt}"
+            results[nt] = main(sub)
+        return results
+
     import jax
     import numpy as np
 
@@ -119,6 +140,10 @@ def main(argv=None):
         resume=args.resume,
         extra_config=vars(args),
     )
+
+    if args.model == "complex_mask" and args.pipeline != "on_device":
+        raise SystemExit("--model complex_mask requires --pipeline on_device "
+                         "(it trains on waveform pairs)")
 
     if args.pipeline == "npy":
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
@@ -167,16 +192,17 @@ def main(argv=None):
         n_steps = args.steps_per_epoch or max(1, len(mixer) // args.batch_size)
         val_steps = max(1, n_steps // 10)
         base_key = jax.random.key(args.seed)
+        draw = mixer.sample_audio if args.model == "complex_mask" else mixer.sample
 
         def train_batches(epoch):
             k = jax.random.fold_in(base_key, epoch)
             for s in range(n_steps):
-                yield mixer.sample(jax.random.fold_in(k, s), args.batch_size)
+                yield draw(jax.random.fold_in(k, s), args.batch_size)
 
         def val_batches():
             k = jax.random.fold_in(base_key, 10_000_019)
             for s in range(val_steps):
-                yield mixer.sample(jax.random.fold_in(k, s), args.batch_size)
+                yield draw(jax.random.fold_in(k, s), args.batch_size)
 
         print(
             f"On-device pipeline: {len(mixer)} clean chunks, "
@@ -185,14 +211,36 @@ def main(argv=None):
 
     from audiodenoiser_tpu.utils.profiling import maybe_trace
 
+    fit_kwargs = {}
+    if args.model == "complex_mask":
+        import jax.numpy as jnp
+
+        from audiodenoiser_tpu.models.complex_mask import ComplexMaskUNet
+        from audiodenoiser_tpu.train.mask import (
+            create_mask_train_state,
+            mask_eval_step,
+            mask_train_step,
+        )
+
+        dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+        fit_kwargs = dict(
+            state_factory=lambda: create_mask_train_state(
+                jax.random.key(args.seed),
+                ComplexMaskUNet(dtype=dtype),
+                learning_rate=args.learning_rate,
+            ),
+            steps=(mask_train_step, mask_eval_step),
+        )
+
     with maybe_trace(args.profile_dir):
-        result = fit(cfg, train_batches, val_batches)
+        result = fit(cfg, train_batches, val_batches, **fit_kwargs)
 
     if args.export_dir and args.noise_type:
         import shutil
 
         os.makedirs(args.export_dir, exist_ok=True)
-        dst = os.path.join(args.export_dir, f"unet_denoiser_{args.noise_type}.ckpt")
+        stem = "unet_denoiser" if args.model == "unet" else "mask_denoiser"
+        dst = os.path.join(args.export_dir, f"{stem}_{args.noise_type}.ckpt")
         if os.path.exists(result["best_path"]):
             shutil.copyfile(result["best_path"], dst)
             print(f"Exported best model to {dst}")

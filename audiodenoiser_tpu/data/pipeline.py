@@ -120,32 +120,42 @@ class OnDeviceMixer:
         return int(self.clean.shape[0])
 
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
+    def sample_audio(self, key: jax.Array, batch_size: int):
+        """(noisy_audio, clean_audio) raw (B, chunk) pairs — the input for
+        waveform-domain models (e.g. the complex-mask U-Net)."""
+        cfg = self.cfg
+        k_idx, k_noise = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
+        clean = self.clean[idx]
+        return self._corrupt(k_noise, clean, batch_size), clean
+
+    def _corrupt(self, k_noise, clean, batch_size):
+        cfg = self.cfg
+        nt = self.noise_type
+        if nt == "white":
+            keys = jax.random.split(k_noise, batch_size)
+            return jax.vmap(lambda k, c: noise_lib.white(k, c, cfg["snr_db"]))(
+                keys, clean
+            )
+        if nt == "urban":
+            k_bank, _ = jax.random.split(k_noise)
+            segs = self.bank.sample(k_bank, batch_size)
+            scaled = noise_lib.snr_scale(clean, segs, cfg["snr_db"])
+            return jnp.clip(clean + scaled, -1.0, 1.0)
+        if nt == "reverb":
+            return noise_lib.reverb(
+                clean, cfg["sample_rate"], wet_level=cfg["reverb_wet_level"]
+            )
+        return noise_lib.noise_cancellation(k_noise, clean)
+
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample(self, key: jax.Array, batch_size: int):
         """(noisy, clean) NHWC float32 batches of ``target_size`` mags."""
         cfg = self.cfg
         k_idx, k_noise = jax.random.split(key)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
         clean = self.clean[idx]
-
-        nt = self.noise_type
-        if nt == "white":
-            keys = jax.random.split(k_noise, batch_size)
-            noisy = jax.vmap(lambda k, c: noise_lib.white(k, c, cfg["snr_db"]))(
-                keys, clean
-            )
-        elif nt == "urban":
-            k_bank, k_mix = jax.random.split(k_noise)
-            segs = self.bank.sample(k_bank, batch_size)
-            scaled = noise_lib.snr_scale(clean, segs, cfg["snr_db"])
-            noisy = jnp.clip(clean + scaled, -1.0, 1.0)
-        elif nt == "reverb":
-            noisy = noise_lib.reverb(
-                clean,
-                cfg["sample_rate"],
-                wet_level=cfg["reverb_wet_level"],
-            )
-        else:  # noise_cancellation
-            noisy = noise_lib.noise_cancellation(k_noise, clean)
+        noisy = self._corrupt(k_noise, clean, batch_size)
 
         def featurize(a):
             mag = jnp.abs(

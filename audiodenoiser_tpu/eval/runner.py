@@ -109,6 +109,20 @@ class DenoiserRunner:
     ) -> jax.Array:
         """Fused STFT -> U-Net -> reconstruction, one compiled graph."""
         spec = stft_lib.stft(audio, self.n_fft, self.hop, center=center)
+        if mode == "complex_mask":
+            # model must be a ComplexMaskUNet: stft -> mask -> single iSTFT
+            from audiodenoiser_tpu.models.complex_mask import (
+                apply_mask,
+                spectrogram_features,
+            )
+
+            feats = spectrogram_features(spec)
+            cmask = self.model.apply(self.variables, feats, train=False)
+            rec = apply_mask(cmask, spec)
+            return stft_lib.istft(
+                rec, self.hop, n_fft=self.n_fft, center=center,
+                length=audio.shape[-1],
+            )
         mag, phase = stft_lib.magphase(spec)
         den = self.model.apply(self.variables, mag[..., None], train=False)[..., 0]
         den = jnp.maximum(den, 0.0)  # magnitudes are non-negative

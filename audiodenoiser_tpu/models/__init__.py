@@ -1,3 +1,17 @@
 from audiodenoiser_tpu.models.unet import UNet, DoubleConv, count_params
+from audiodenoiser_tpu.models.complex_mask import (
+    ComplexMaskUNet,
+    apply_mask,
+    denoise_waveform,
+    spectrogram_features,
+)
 
-__all__ = ["UNet", "DoubleConv", "count_params"]
+__all__ = [
+    "UNet",
+    "DoubleConv",
+    "count_params",
+    "ComplexMaskUNet",
+    "apply_mask",
+    "denoise_waveform",
+    "spectrogram_features",
+]

@@ -1,0 +1,71 @@
+"""Complex-ratio-masking U-Net variant (BASELINE.json stretch config 4).
+
+The reference regresses the clean linear magnitude directly and discards
+phase (``/root/reference/code/model.py``, ``test.py:29-48`` reconstructs
+with random-phase iterations). This variant instead predicts a **bounded
+complex ratio mask** over the noisy STFT:
+
+    input   (B, F, T, 3) = [|S|, Re(S)/|S|, Im(S)/|S|]   (mag + unit phase)
+    output  (B, F, T, 2) = (Mr, Mi), each tanh-bounded to [-K, K]
+    S_hat   = (Mr + i Mi) * S_noisy
+
+so both magnitude *and phase* are corrected in one forward pass and the
+waveform comes back through a single iSTFT — no iterative phase recovery at
+all. Same U-Net backbone (conv-before-pool encoder, ConvTranspose decoder
+with re-match padding); only the stem/head widths differ.
+
+``apply_mask``/``denoise`` helpers keep the full pipeline jittable; the
+fused inference path lives in ``eval.runner.DenoiserRunner`` (mode
+``complex_mask``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+import audiodenoiser_tpu.dsp.stft as stft_lib
+from audiodenoiser_tpu.models.unet import UNet
+
+
+class ComplexMaskUNet(UNet):
+    """U-Net emitting a bounded complex ratio mask (2 output channels)."""
+
+    out_channels: int = 2
+    mask_bound: float = 2.0
+
+    @jax.named_scope("complex_mask_unet")
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        out = super().__call__(x, train=train)
+        return self.mask_bound * jnp.tanh(out)
+
+
+def spectrogram_features(spec: jax.Array) -> jax.Array:
+    """Complex STFT (..., F, T) -> (..., F, T, 3) [mag, cos, sin] features."""
+    mag, phase = stft_lib.magphase(spec)
+    return jnp.stack([mag, jnp.real(phase), jnp.imag(phase)], axis=-1)
+
+
+def apply_mask(mask: jax.Array, spec: jax.Array) -> jax.Array:
+    """(..., F, T, 2) mask x complex spec -> masked complex spec."""
+    m = jax.lax.complex(mask[..., 0], mask[..., 1])
+    return m * spec
+
+
+def denoise_waveform(
+    model: ComplexMaskUNet,
+    variables,
+    audio: jax.Array,
+    n_fft: int = 512,
+    hop_length: int = 128,
+) -> jax.Array:
+    """Fused stft -> mask -> istft, one jittable graph (no phase iteration)."""
+    if audio.ndim == 1:  # the U-Net backbone is NHWC-batched
+        return denoise_waveform(model, variables, audio[None], n_fft, hop_length)[0]
+    spec = stft_lib.stft(audio, n_fft, hop_length, center=True)
+    feats = spectrogram_features(spec)
+    mask = model.apply(variables, feats, train=False)
+    out = apply_mask(mask, spec)
+    return stft_lib.istft(
+        out, hop_length, n_fft=n_fft, center=True, length=audio.shape[-1]
+    )

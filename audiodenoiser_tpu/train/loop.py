@@ -153,6 +153,8 @@ def fit(
     config: FitConfig,
     train_batches: Callable[[int], Iterator[tuple[np.ndarray, np.ndarray]]],
     val_batches: Callable[[], Iterator[tuple[np.ndarray, np.ndarray]]],
+    state_factory: Callable[[], "TrainState"] | None = None,
+    steps: tuple[Callable, Callable] | None = None,
 ) -> dict:
     """Run the training loop; returns a summary dict.
 
@@ -173,10 +175,16 @@ def fit(
     logger.info(f"Full configuration: \n{json.dumps(cfg_dump, indent=2, default=str)}")
     logger.info(f"Using device: {jax.devices()[0]}")
 
-    model = UNet(dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32)
-    state = create_train_state(
-        jax.random.key(config.seed), model, learning_rate=config.learning_rate
-    )
+    step_fn, eval_fn = steps if steps is not None else (train_step, eval_step)
+    if state_factory is not None:
+        state = state_factory()
+    else:
+        model = UNet(
+            dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+        )
+        state = create_train_state(
+            jax.random.key(config.seed), model, learning_rate=config.learning_rate
+        )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
 
@@ -204,14 +212,14 @@ def fit(
         t0 = time.perf_counter()
         train_losses = []
         for noisy, clean in train_batches(epoch):
-            state, losses = train_step(state, jnp.asarray(noisy), jnp.asarray(clean))
+            state, losses = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
             train_losses.append(losses)
         train_loss = _epoch_mean(train_losses)
         writer.add_scalar("Loss/train", train_loss, epoch)
 
         val_losses = []
         for noisy, clean in val_batches():
-            val_losses.append(eval_step(state, jnp.asarray(noisy), jnp.asarray(clean)))
+            val_losses.append(eval_fn(state, jnp.asarray(noisy), jnp.asarray(clean)))
         val_loss = _epoch_mean(val_losses)
         if not val_losses:
             # empty validation split (tiny dataset): fall back to the train

@@ -1,0 +1,112 @@
+"""Training steps for the complex-ratio-mask model family.
+
+Unlike the magnitude-regression path (``train.loop``), these steps consume
+raw (noisy_audio, clean_audio) waveform pairs from
+``OnDeviceMixer.sample_audio`` — STFT, feature extraction, masking, and the
+combined spectral loss all happen inside the jitted step, so the mask
+model trains against exactly the spectra it will see at inference.
+
+Loss: the reference's combined perceptual loss on |S_hat| vs |S_clean|
+(keeping metrics comparable across model families) plus a waveform L1 term
+— the mask model corrects phase, so a time-domain term is finally
+meaningful (the magnitude model cannot use one).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import audiodenoiser_tpu.dsp.stft as stft_lib
+from audiodenoiser_tpu.losses import combined_perceptual_loss
+from audiodenoiser_tpu.models.complex_mask import (
+    ComplexMaskUNet,
+    apply_mask,
+    spectrogram_features,
+)
+from audiodenoiser_tpu.train.loop import TrainState, make_optimizer
+
+WAVEFORM_L1_WEIGHT = 0.5
+N_FFT = 512
+HOP = 128
+
+
+def create_mask_train_state(
+    key: jax.Array,
+    model: ComplexMaskUNet | None = None,
+    learning_rate: float = 1e-4,
+    input_shape: tuple = (1, 64, 64, 3),
+) -> TrainState:
+    model = ComplexMaskUNet() if model is None else model
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
+    )(key)
+    tx = make_optimizer(learning_rate)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def _mask_losses(state: TrainState, params, noisy_audio, clean_audio, train: bool):
+    spec = stft_lib.stft(noisy_audio, N_FFT, HOP, center=False)
+    clean_mag = jnp.abs(stft_lib.stft(clean_audio, N_FFT, HOP, center=False))
+    feats = spectrogram_features(spec)
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    if train:
+        mask, mutated = state.apply_fn(
+            variables, feats, train=True, mutable=["batch_stats"]
+        )
+        new_bs = mutated["batch_stats"]
+    else:
+        mask = state.apply_fn(variables, feats, train=False)
+        new_bs = state.batch_stats
+    s_hat = apply_mask(mask, spec)
+    losses = combined_perceptual_loss(
+        jnp.abs(s_hat)[..., None], clean_mag[..., None]
+    )
+    y_hat = stft_lib.istft(
+        s_hat, HOP, n_fft=N_FFT, center=False, length=clean_audio.shape[-1]
+    )
+    wav_l1 = jnp.mean(jnp.abs(y_hat - clean_audio))
+    total = losses.total + WAVEFORM_L1_WEIGHT * wav_l1
+    return total, losses._replace(total=total), new_bs
+
+
+@partial(jax.jit, donate_argnums=0)
+def mask_train_step(state: TrainState, noisy_audio: jax.Array, clean_audio: jax.Array):
+    def loss_fn(params):
+        total, losses, new_bs = _mask_losses(
+            state, params, noisy_audio, clean_audio, train=True
+        )
+        return total, (losses, new_bs)
+
+    (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        ),
+        losses,
+    )
+
+
+@jax.jit
+def mask_eval_step(state: TrainState, noisy_audio: jax.Array, clean_audio: jax.Array):
+    _, losses, _ = _mask_losses(
+        state, state.params, noisy_audio, clean_audio, train=False
+    )
+    return losses

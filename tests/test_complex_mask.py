@@ -1,0 +1,157 @@
+"""Complex-ratio-mask model family: masking math, training, fused inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import audiodenoiser_tpu.dsp.stft as S
+from audiodenoiser_tpu.eval.runner import DenoiserRunner
+from audiodenoiser_tpu.models.complex_mask import (
+    ComplexMaskUNet,
+    apply_mask,
+    denoise_waveform,
+    spectrogram_features,
+)
+from audiodenoiser_tpu.train.mask import (
+    create_mask_train_state,
+    mask_eval_step,
+    mask_train_step,
+)
+
+
+def _tiny():
+    return ComplexMaskUNet(features=(4, 8), bottleneck=16)
+
+
+class TestMaskMath:
+    def test_features_shape_and_content(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+        spec = S.stft(x, 512, 128)
+        feats = spectrogram_features(spec)
+        assert feats.shape == (*spec.shape, 3)
+        np.testing.assert_allclose(
+            np.asarray(feats[..., 0]), np.abs(np.asarray(spec)), atol=1e-5
+        )
+        # unit phase: cos^2 + sin^2 == 1
+        np.testing.assert_allclose(
+            np.asarray(feats[..., 1] ** 2 + feats[..., 2] ** 2), 1.0, atol=1e-4
+        )
+
+    def test_identity_mask_preserves_spec(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+        spec = S.stft(x, 512, 128)
+        ones = jnp.stack(
+            [jnp.ones(spec.shape), jnp.zeros(spec.shape)], axis=-1
+        )
+        out = apply_mask(ones, spec)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(spec), atol=1e-6)
+
+    def test_mask_is_bounded(self, rng):
+        model = _tiny()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        big = jnp.ones((1, 64, 64, 3)) * 1e3
+        mask = np.asarray(model.apply(v, big, train=False))
+        assert mask.shape[-1] == 2
+        assert np.abs(mask).max() <= model.mask_bound + 1e-5
+
+
+class TestMaskTraining:
+    def test_loss_decreases(self, rng):
+        state = create_mask_train_state(
+            jax.random.key(0), _tiny(), learning_rate=1e-3
+        )
+        clean = jnp.asarray(
+            np.clip(rng.standard_normal((2, 16000)) * 0.2, -1, 1).astype(np.float32)
+        )
+        noisy = jnp.clip(
+            clean + 0.1 * jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32)),
+            -1, 1,
+        )
+        first = None
+        for _ in range(15):
+            state, losses = mask_train_step(state, noisy, clean)
+            if first is None:
+                first = float(losses.total)
+        assert float(losses.total) < first
+
+    def test_eval_step_runs(self, rng):
+        state = create_mask_train_state(jax.random.key(0), _tiny())
+        a = jnp.asarray(np.zeros((1, 16000), np.float32))
+        out = mask_eval_step(state, a, a)
+        assert np.isfinite(float(out.total))
+
+
+class TestFusedInference:
+    def test_denoise_waveform_shape(self, rng):
+        model = _tiny()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        x = jnp.asarray(
+            np.clip(rng.standard_normal(8000) * 0.2, -1, 1).astype(np.float32)
+        )
+        y = jax.jit(lambda v, x: denoise_waveform(model, v, x))(v, x)
+        assert y.shape == x.shape
+
+    def test_runner_complex_mask_mode(self, rng):
+        model = _tiny()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        runner = DenoiserRunner(model, v)
+        x = jnp.asarray(
+            np.clip(rng.standard_normal((2, 8000)) * 0.2, -1, 1).astype(np.float32)
+        )
+        y = runner.denoise_audio(x, jax.random.key(0), mode="complex_mask")
+        assert y.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestCLI:
+    def test_train_cli_complex_mask(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.models.complex_mask as cm
+        from audiodenoiser_tpu.data.wav_io import write_wav
+
+        real = cm.ComplexMaskUNet
+        monkeypatch.setattr(
+            cm, "ComplexMaskUNet",
+            lambda dtype=jnp.float32: real(
+                features=(4, 8), bottleneck=16, dtype=dtype
+            ),
+        )
+        from audiodenoiser_tpu.cli.train import main
+
+        rng = np.random.default_rng(0)
+        clean_dir = tmp_path / "clean"
+        clean_dir.mkdir()
+        write_wav(
+            str(clean_dir / "a.wav"),
+            np.clip(rng.standard_normal(40000) * 0.2, -1, 1), 8000,
+        )
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--pipeline", "on_device",
+                "--model", "complex_mask",
+                "--noise_type", "white",
+                "--epochs", "1",
+                "--batch_size", "2",
+                "--steps_per_epoch", "2",
+                "--precision", "f32",
+                "--run_name", "cmrun",
+                "--output_path", str(tmp_path / "runs"),
+                "--export_dir", str(tmp_path / "sm"),
+            ]
+        )
+        import os
+
+        assert os.path.exists(tmp_path / "sm" / "mask_denoiser_white.ckpt")
+        assert np.isfinite(out["best_val"])
+
+    def test_complex_mask_requires_on_device(self, tmp_path):
+        from audiodenoiser_tpu.cli.train import main
+
+        with pytest.raises(SystemExit):
+            main(
+                [
+                    "--base_dataset_path", str(tmp_path),
+                    "--model", "complex_mask",
+                ]
+            )

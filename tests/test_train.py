@@ -240,3 +240,33 @@ class TestFailureDetection:
         )
         with pytest.raises(FloatingPointError):
             fit(cfg, nan_batches, lambda: iter(()))
+
+
+class TestTrainAllTypes:
+    def test_cli_noise_type_all(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype),
+        )
+        for nt in ("white", "urban", "reverb", "noise_cancellation"):
+            d = tmp_path / nt
+            d.mkdir()
+            _write_npy_dataset(d, n=4, shape=(64, 32))
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "all",
+                "--run_name", "ens",
+                "--output_path", str(tmp_path / "runs"),
+                "--epochs", "1",
+                "--batch_size", "2",
+                "--precision", "f32",
+                "--export_dir", str(tmp_path / "sm"),
+            ]
+        )
+        assert set(out) == {"white", "urban", "reverb", "noise_cancellation"}
+        for nt in out:
+            assert os.path.exists(tmp_path / "sm" / f"unet_denoiser_{nt}.ckpt")
