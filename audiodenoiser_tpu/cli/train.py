@@ -125,7 +125,6 @@ def main(argv=None):
         return results
 
     import jax
-    import numpy as np
 
     from audiodenoiser_tpu.train.loop import FitConfig, fit
 

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import core as flax_core
 from flax import struct
 
 from audiodenoiser_tpu.losses import CombinedLossOutput, combined_perceptual_loss
