@@ -72,6 +72,20 @@ def parse_args(argv=None):
     ext.add_argument("--resume", action="store_true")
     ext.add_argument("--seed", type=int, default=0)
     ext.add_argument(
+        "--lr_schedule", choices=["constant", "cosine"], default="constant",
+        help="constant matches the reference; cosine adds warmup+decay.",
+    )
+    ext.add_argument("--warmup_steps", type=int, default=0)
+    ext.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="accumulate gradients over N micro-batches per optimizer step.",
+    )
+    ext.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize U-Net blocks to cut activation memory "
+        "(enables much larger per-chip batches).",
+    )
+    ext.add_argument(
         "--steps_per_epoch", type=int, default=None,
         help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
     )
@@ -126,7 +140,10 @@ def main(argv=None):
 
     import jax
 
+    from audiodenoiser_tpu.parallel.distributed import maybe_initialize
     from audiodenoiser_tpu.train.loop import FitConfig, fit
+
+    maybe_initialize()  # no-op on single host
 
     cfg = FitConfig(
         run_name=args.run_name,
@@ -137,6 +154,10 @@ def main(argv=None):
         seed=args.seed,
         precision=args.precision,
         resume=args.resume,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        grad_accum=args.grad_accum,
+        remat=args.remat,
         extra_config=vars(args),
     )
 
@@ -165,6 +186,8 @@ def main(argv=None):
 
         def val_batches():
             return batches(ds, va_idx, args.batch_size, shuffle=False)
+
+        steps_per_epoch = max(1, -(-len(tr_idx) // args.batch_size))
 
     else:  # on_device
         from audiodenoiser_tpu.data import NoiseBank, OnDeviceMixer
@@ -207,8 +230,12 @@ def main(argv=None):
             f"On-device pipeline: {len(mixer)} clean chunks, "
             f"{n_steps} steps/epoch, noise type {args.noise_type}."
         )
+        steps_per_epoch = n_steps
 
     from audiodenoiser_tpu.utils.profiling import maybe_trace
+
+    if args.lr_schedule == "cosine" and cfg.total_steps == 0:
+        cfg.total_steps = args.epochs * steps_per_epoch
 
     fit_kwargs = {}
     if args.model == "complex_mask":

@@ -86,18 +86,24 @@ class UNet(nn.Module):
     bottleneck: int = 1024
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize DoubleConv blocks (activation
+    # memory ~halves in backward, trading recompute — raises the max
+    # trainable batch per chip)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_dtype = x.dtype
         x = x.astype(self.dtype)
+        block = (
+            nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
+        )
         skips = []
         for i, f in enumerate(self.features):
-            x = DoubleConv(f, dtype=self.dtype, name=f"down{i}")(x, train)
+            x = block(f, dtype=self.dtype, name=f"down{i}")(x, train)
             skips.append(x)
             x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
-        x = DoubleConv(self.bottleneck, dtype=self.dtype, name="bottleneck")(x, train)
+        x = block(self.bottleneck, dtype=self.dtype, name="bottleneck")(x, train)
 
         for i, (f, skip) in enumerate(zip(reversed(self.features), reversed(skips))):
             x = nn.ConvTranspose(
@@ -112,7 +118,7 @@ class UNet(nn.Module):
             x = _pad_to_match(x, skip)
             # skip first, upsampled second — reference cat order (model.py:49)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = DoubleConv(f, dtype=self.dtype, name=f"up{i}_conv")(x, train)
+            x = block(f, dtype=self.dtype, name=f"up{i}_conv")(x, train)
 
         x = nn.Conv(
             self.out_channels,

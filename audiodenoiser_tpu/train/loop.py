@@ -48,20 +48,46 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(
-    learning_rate: float, weight_decay: float = 0.01, clip_norm: float = 1.0
+    learning_rate: float,
+    weight_decay: float = 0.01,
+    clip_norm: float = 1.0,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> AdamW with torch defaults.
 
     torch.optim.AdamW defaults (train.py:124): betas (0.9, 0.999), eps 1e-8,
     weight_decay 0.01 applied to ALL parameters (torch does not exempt
-    norm/bias params, so neither do we).
+    norm/bias params, so neither do we). The reference uses a constant LR;
+    ``schedule='cosine'`` (with optional linear warmup) and micro-batch
+    gradient accumulation are production extensions.
     """
-    return optax.chain(
+    if schedule == "constant":
+        lr = (
+            optax.linear_schedule(0.0, learning_rate, warmup_steps)
+            if warmup_steps
+            else learning_rate
+        )
+    elif schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine schedule requires total_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=max(1, warmup_steps),
+            decay_steps=total_steps,
+        )
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(
-            learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
-        ),
+        optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(
@@ -71,12 +97,13 @@ def create_train_state(
     weight_decay: float = 0.01,
     clip_norm: float = 1.0,
     input_shape: tuple = (1, 256, 64, 1),
+    **opt_kwargs,
 ) -> TrainState:
     model = UNet() if model is None else model
     variables = jax.jit(
         lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
     )(key)
-    tx = make_optimizer(learning_rate, weight_decay, clip_norm)
+    tx = make_optimizer(learning_rate, weight_decay, clip_norm, **opt_kwargs)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -141,6 +168,11 @@ class FitConfig:
     resume: bool = False
     steps_per_epoch: int | None = None  # only for on-device pipeline mode
     log_every: int = 50
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+    warmup_steps: int = 0
+    total_steps: int = 0  # required for cosine decay
+    grad_accum: int = 1
+    remat: bool = False
     extra_config: dict = field(default_factory=dict)
 
 
@@ -179,10 +211,17 @@ def fit(
         state = state_factory()
     else:
         model = UNet(
-            dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+            dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
+            remat=config.remat,
         )
         state = create_train_state(
-            jax.random.key(config.seed), model, learning_rate=config.learning_rate
+            jax.random.key(config.seed),
+            model,
+            learning_rate=config.learning_rate,
+            schedule=config.lr_schedule,
+            warmup_steps=config.warmup_steps,
+            total_steps=config.total_steps,
+            grad_accum=config.grad_accum,
         )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
