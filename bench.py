@@ -18,7 +18,8 @@ import time
 
 
 def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
-              warmup: int = 3, mode: str = "noisy_phase") -> dict:
+              warmup: int = 3, mode: str = "noisy_phase",
+              pipelined: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,9 +29,16 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
 
     sr, hop, n_fft = 8000, 128, 512
     n_samples = int(sr * clip_seconds)
-    model = UNet(dtype=jnp.bfloat16)
+    if mode == "complex_mask":
+        from audiodenoiser_tpu.models import ComplexMaskUNet
+
+        model = ComplexMaskUNet(dtype=jnp.bfloat16)
+        in_ch = 3
+    else:
+        model = UNet(dtype=jnp.bfloat16)
+        in_ch = 1
     variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros((1, 64, 64, 1), jnp.float32))
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, in_ch), jnp.float32))
     )(jax.random.key(0))
     runner = DenoiserRunner(model, variables, n_fft=n_fft, hop_length=hop)
 
@@ -41,14 +49,25 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
     )
     key = jax.random.key(1)
 
-    def step():
-        return runner.denoise_audio(audio, key, mode=mode).block_until_ready()
+    def sync(out):
+        # a host scalar fetch is the reliable completion barrier on the
+        # axon relay (block_until_ready can return early for aliased
+        # buffers); for fresh outputs both agree within noise.
+        return float(out[(0,) * out.ndim])
 
     for _ in range(warmup):
-        step()
+        sync(runner.denoise_audio(audio, key, mode=mode))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
+    if pipelined:
+        # steady-state serving throughput: keep the device queue full,
+        # one barrier at the end
+        outs = [runner.denoise_audio(audio, key, mode=mode) for _ in range(iters)]
+        for o in outs:
+            sync(o)
+    else:
+        # per-batch latency: barrier every iteration
+        for _ in range(iters):
+            sync(runner.denoise_audio(audio, key, mode=mode))
     dt = time.perf_counter() - t0
 
     frames_per_clip = 1 + n_samples // hop  # center=True STFT frames
@@ -68,10 +87,14 @@ def main(argv=None):
     p.add_argument("--clip_seconds", type=float, default=2.0)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="noisy_phase",
-                   choices=["noisy_phase", "griffin_lim", "reference_gl"])
+                   choices=["noisy_phase", "griffin_lim", "reference_gl",
+                            "complex_mask"])
+    p.add_argument("--latency", action="store_true",
+                   help="measure per-batch latency (barrier every iteration) "
+                   "instead of pipelined serving throughput")
     args = p.parse_args(argv)
     result = run_bench(args.batch_size, args.clip_seconds, args.iters,
-                       mode=args.mode)
+                       mode=args.mode, pipelined=not args.latency)
     print(json.dumps(result))
 
 

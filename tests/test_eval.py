@@ -151,3 +151,28 @@ class TestEvalArtifacts:
             test_data_dir=str(tmp_path), output_dir=str(tmp_path / "o"),
         )
         assert out is None
+
+
+class TestBench:
+    def test_bench_runs_on_cpu_small(self, monkeypatch, capsys):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import bench as bench_mod
+        from audiodenoiser_tpu.models import UNet as RealUNet
+
+        monkeypatch.setattr(
+            bench_mod, "UNet",
+            lambda dtype: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype),
+            raising=False,
+        )
+        # patch the symbol bench imports locally
+        import audiodenoiser_tpu.models as models_mod
+
+        monkeypatch.setattr(
+            models_mod, "UNet",
+            lambda dtype: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype),
+        )
+        r = bench_mod.run_bench(batch_size=2, clip_seconds=0.5, iters=2, warmup=1)
+        assert r["value"] > 0 and r["unit"] == "frames/s/chip"
+        assert set(r) == {"metric", "value", "unit", "vs_baseline"}
