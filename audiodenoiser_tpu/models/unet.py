@@ -132,3 +132,17 @@ class UNet(nn.Module):
 
 def count_params(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+if __name__ == "__main__":
+    # shape smoke test mirroring the reference's only executable test
+    # (model.py:97-101): forward a (1, 256, 256) input, print the shape
+    model = UNet()
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 1), jnp.float32))
+    )(jax.random.key(0))
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 256, 256, 1), jnp.float32)
+    )
+    print("Output shape:", out.shape)
+    print("Trainable parameters:", count_params(variables["params"]))
