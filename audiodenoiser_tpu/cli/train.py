@@ -126,15 +126,28 @@ def main(argv=None):
     if args.noise_type == "all":
         # the reference's implied workflow (SURVEY.md §1 breakage 2): one
         # specialized training run per noise type
+
+        def replace_flag(tokens, flag, update):
+            out = []
+            i = 0
+            while i < len(tokens):
+                t = tokens[i]
+                if t == flag and i + 1 < len(tokens):
+                    out += [t, update(tokens[i + 1])]
+                    i += 2
+                elif t.startswith(flag + "="):
+                    out.append(f"{flag}={update(t.split('=', 1)[1])}")
+                    i += 1
+                else:
+                    out.append(t)
+                    i += 1
+            return out
+
         argv = argv if argv is not None else __import__("sys").argv[1:]
         results = {}
         for nt in ("white", "urban", "reverb", "noise_cancellation"):
-            sub = list(argv)
-            i = sub.index("--noise_type")
-            sub[i + 1] = nt
-            if "--run_name" in sub:
-                j = sub.index("--run_name")
-                sub[j + 1] = f"{sub[j + 1]}_{nt}"
+            sub = replace_flag(list(argv), "--noise_type", lambda _: nt)
+            sub = replace_flag(sub, "--run_name", lambda v: f"{v}_{nt}")
             results[nt] = main(sub)
         return results
 
@@ -210,11 +223,22 @@ def main(argv=None):
                 read_wav(f, sample_rate=8000)[0] for f in load_wav_list(noise_dir)
             ]
             bank = NoiseBank(clips)
-        mixer = OnDeviceMixer(chunks, args.noise_type, noise_bank=bank)
+        # held-out 90/10 split over the CLEAN CHUNKS (mirrors the
+        # reference's random_split, train.py:111-114): the val mixer draws
+        # from chunks training never sees
+        from audiodenoiser_tpu.data import split_train_val
+
+        tr_idx, va_idx = split_train_val(len(chunks), 0.1, seed=args.seed)
+        if len(va_idx) == 0:
+            va_idx = tr_idx[:1]
+        mixer = OnDeviceMixer(chunks[tr_idx], args.noise_type, noise_bank=bank)
+        val_mixer = OnDeviceMixer(chunks[va_idx], args.noise_type, noise_bank=bank)
         n_steps = args.steps_per_epoch or max(1, len(mixer) // args.batch_size)
         val_steps = max(1, n_steps // 10)
         base_key = jax.random.key(args.seed)
-        draw = mixer.sample_audio if args.model == "complex_mask" else mixer.sample
+        attr = "sample_audio" if args.model == "complex_mask" else "sample"
+        draw = getattr(mixer, attr)
+        val_draw = getattr(val_mixer, attr)
 
         def train_batches(epoch):
             k = jax.random.fold_in(base_key, epoch)
@@ -224,7 +248,7 @@ def main(argv=None):
         def val_batches():
             k = jax.random.fold_in(base_key, 10_000_019)
             for s in range(val_steps):
-                yield draw(jax.random.fold_in(k, s), args.batch_size)
+                yield val_draw(jax.random.fold_in(k, s), args.batch_size)
 
         print(
             f"On-device pipeline: {len(mixer)} clean chunks, "

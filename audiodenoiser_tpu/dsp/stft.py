@@ -65,7 +65,10 @@ def _resolve_window(window: WindowSpec, win_length: int, n_fft: int) -> np.ndarr
 def num_frames(length: int, n_fft: int, hop_length: int, center: bool = True) -> int:
     """Number of STFT frames librosa produces for a signal of ``length``."""
     if center:
-        return 1 + length // hop_length
+        # padded length is length + 2*(n_fft//2); for even n_fft this
+        # reduces to 1 + length//hop, but odd n_fft (the mel-loss 63-FFT
+        # config) loses one sample of pad on each side
+        return 1 + (length + 2 * (n_fft // 2) - n_fft) // hop_length
     if length < n_fft:
         raise ValueError(f"signal length {length} < n_fft {n_fft} with center=False")
     return 1 + (length - n_fft) // hop_length
@@ -162,9 +165,18 @@ def magnitude(spec: jax.Array) -> jax.Array:
 
 
 def magphase(spec: jax.Array):
-    """librosa.magphase: (magnitude, unit-phase complex)."""
+    """librosa.magphase: (magnitude, unit-phase complex).
+
+    Zero-magnitude bins get phase 1 (librosa: exp(1j*angle(0)) == 1), so
+    magnitude * phase always reconstructs the input.
+    """
     mag = jnp.abs(spec)
-    phase = spec / jnp.maximum(mag, jnp.finfo(jnp.float32).tiny)
+    tiny = jnp.finfo(jnp.float32).tiny
+    phase = jnp.where(
+        mag > tiny,
+        spec / jnp.maximum(mag, tiny).astype(spec.dtype),
+        jnp.ones((), spec.dtype),
+    )
     return mag, phase
 
 

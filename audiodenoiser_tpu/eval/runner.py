@@ -148,10 +148,16 @@ class DenoiserRunner:
 
 
 def _plot_comparison(noisy, denoised, clean, path):
-    import matplotlib
+    try:
+        import matplotlib
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # plots are the optional [plots] extra
+        import warnings
+
+        warnings.warn("matplotlib unavailable; skipping spectrogram PNGs")
+        return
 
     plt.figure(figsize=(12, 6))
     for pos, (spec, title) in enumerate(
@@ -181,6 +187,7 @@ def test_single_noise_type(
     gl_mode: str = "reference_gl",
     seed: int = 0,
     compute_si_sdr: bool = True,
+    eval_batch_size: int = 64,
 ) -> Optional[dict]:
     """Reference-parity per-noise-type evaluation (test.py:74-175).
 
@@ -222,8 +229,21 @@ def test_single_noise_type(
                 noisy_audio[i], sample_rate,
             )
 
-    # whole-set forward in one call (test.py:112-114)
-    denoised = np.asarray(runner.denoise_spectrogram(jnp.asarray(noisy)))
+    # the reference forwards the whole test set at once (test.py:112-114),
+    # which scales poorly; batch it, padding the tail to avoid a second
+    # XLA specialization
+    if n <= eval_batch_size:
+        denoised = np.asarray(runner.denoise_spectrogram(jnp.asarray(noisy)))
+    else:
+        outs = []
+        for s in range(0, n, eval_batch_size):
+            chunk = noisy[s : s + eval_batch_size]
+            pad = eval_batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            out = np.asarray(runner.denoise_spectrogram(jnp.asarray(chunk)))
+            outs.append(out[: eval_batch_size - pad])
+        denoised = np.concatenate(outs, axis=0)
 
     total, s, m, l1 = combined_perceptual_loss(
         jnp.asarray(denoised)[..., None], jnp.asarray(clean)[..., None]

@@ -81,6 +81,8 @@ bool decode_wav(const char* path, Wav& out) {
     pos += 8 + sz + (sz & 1);
   }
   if (!data || !channels || !rate) return false;
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32 && bits != 64)
+    return false;  // malformed fmt chunk: avoid a divide-by-zero SIGFPE
   const size_t bytes_per = bits / 8;
   const size_t frames = data_len / (bytes_per * channels);
   out.sample_rate = rate;

@@ -163,7 +163,7 @@ class TestBench:
 
         monkeypatch.setattr(
             bench_mod, "UNet",
-            lambda dtype: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype),
+            lambda dtype, remat=False: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
             raising=False,
         )
         # patch the symbol bench imports locally
@@ -171,8 +171,31 @@ class TestBench:
 
         monkeypatch.setattr(
             models_mod, "UNet",
-            lambda dtype: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype),
+            lambda dtype, remat=False: RealUNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
         )
         r = bench_mod.run_bench(batch_size=2, clip_seconds=0.5, iters=2, warmup=1)
         assert r["value"] > 0 and r["unit"] == "frames/s/chip"
         assert set(r) == {"metric", "value", "unit", "vs_baseline"}
+
+
+class TestEvalBatching:
+    def test_batched_eval_matches_single_shot(self, tmp_path, rng):
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        data_dir = tmp_path / "d"
+        data_dir.mkdir()
+        clean = np.abs(rng.standard_normal((7, 257, 40))).astype(np.float32)
+        noisy = clean + 0.2 * np.abs(rng.standard_normal((7, 257, 40))).astype(np.float32)
+        np.save(data_dir / "clean_white.npy", clean)
+        np.save(data_dir / "noisy_white.npy", noisy)
+        m_all = run_noise_eval(
+            model, variables, "white", str(data_dir), str(tmp_path / "o1"),
+            num_audio_examples=0, compute_si_sdr=False, eval_batch_size=64,
+        )
+        m_batched = run_noise_eval(
+            model, variables, "white", str(data_dir), str(tmp_path / "o2"),
+            num_audio_examples=0, compute_si_sdr=False, eval_batch_size=3,
+        )
+        for k in ("total", "stft", "mel", "l1"):
+            np.testing.assert_allclose(m_all[k], m_batched[k], rtol=1e-4)

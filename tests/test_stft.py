@@ -167,3 +167,21 @@ class TestMagphase:
             np.asarray(mag * phase), np.asarray(spec), atol=1e-5
         )
         np.testing.assert_allclose(np.abs(np.asarray(phase)), 1.0, atol=1e-5)
+
+
+class TestReviewRegressions:
+    def test_num_frames_odd_nfft_center(self, rng):
+        """num_frames must agree with the actual stft output for odd n_fft
+        (the 63-FFT mel-loss config pads one sample less per side)."""
+        import audiodenoiser_tpu.dsp.stft as S2
+
+        for length, n_fft, hop in [(64, 63, 16), (64, 32, 8), (100, 63, 16),
+                                   (16000, 512, 128)]:
+            got = S2.stft(jnp.zeros(length), n_fft, hop, center=True).shape[-1]
+            assert S2.num_frames(length, n_fft, hop, center=True) == got
+
+    def test_magphase_zero_bins_have_unit_phase(self):
+        """librosa.magphase gives phase 1 (not 0) for zero bins."""
+        spec = jnp.zeros((5, 4), jnp.complex64)
+        mag, phase = S.magphase(spec)
+        np.testing.assert_array_equal(np.asarray(phase), 1.0 + 0.0j)

@@ -110,7 +110,7 @@ class TestFit:
 
         # shrink the model for CPU test speed
         monkeypatch.setattr(
-            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+            loop_mod, "UNet", lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat)
         )
 
         data_dir = tmp_path / "npy"
@@ -157,7 +157,7 @@ class TestFit:
         from audiodenoiser_tpu.data import OnDeviceMixer
 
         monkeypatch.setattr(
-            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+            loop_mod, "UNet", lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat)
         )
         rng = np.random.default_rng(0)
         chunks = np.clip(rng.standard_normal((8, 16000)) * 0.2, -1, 1).astype(np.float32)
@@ -187,7 +187,7 @@ class TestTrainCLI:
         import audiodenoiser_tpu.train.loop as loop_mod
 
         monkeypatch.setattr(
-            loop_mod, "UNet", lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype)
+            loop_mod, "UNet", lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat)
         )
         from audiodenoiser_tpu.cli.train import main
 
@@ -227,7 +227,7 @@ class TestFailureDetection:
 
         monkeypatch.setattr(
             loop_mod, "UNet",
-            lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype),
+            lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
         )
 
         def nan_batches(epoch):
@@ -249,7 +249,7 @@ class TestTrainAllTypes:
 
         monkeypatch.setattr(
             loop_mod, "UNet",
-            lambda dtype: UNet(features=(4, 8), bottleneck=16, dtype=dtype),
+            lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
         )
         for nt in ("white", "urban", "reverb", "noise_cancellation"):
             d = tmp_path / nt
@@ -345,3 +345,30 @@ class TestDistributedBootstrap:
         monkeypatch.setattr(dist, "_initialized", False)
         assert dist.maybe_initialize() is False
         assert dist.is_primary() is True
+
+
+class TestNoiseTypeAllEqualsSyntax:
+    def test_equals_form_flag_rewrite(self, tmp_path, monkeypatch):
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
+        )
+        for nt in ("white", "urban", "reverb", "noise_cancellation"):
+            d = tmp_path / nt
+            d.mkdir()
+            _write_npy_dataset(d, n=4, shape=(64, 32))
+        out = main(
+            [
+                f"--base_dataset_path={tmp_path}",
+                "--noise_type=all",
+                "--run_name=eq",
+                f"--output_path={tmp_path / 'runs'}",
+                "--epochs=1",
+                "--batch_size=2",
+                "--precision=f32",
+            ]
+        )
+        assert set(out) == {"white", "urban", "reverb", "noise_cancellation"}
