@@ -36,6 +36,14 @@ def parse_args(argv=None):
     )
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--model", choices=["unet", "complex_mask"], default="unet",
+        help="unet: magnitude ensemble over test_processed npy artifacts "
+        "(reference parity); complex_mask: waveform-domain eval of the "
+        "mask_denoiser ensemble over --clean_dir/--noise_dir wavs.",
+    )
+    p.add_argument("--clean_dir", default="./data/test/clean")
+    p.add_argument("--noise_dir", default="./data/test/noise")
     return p.parse_args(argv)
 
 
@@ -54,12 +62,33 @@ def main(argv=None):
     print("Starting specialized test for each noise type...")
     os.makedirs(args.output_dir, exist_ok=True)
     results = {}
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.model == "complex_mask":
+        from audiodenoiser_tpu.eval.runner import test_noise_type_waveform
+
+        for noise_type in args.noise_types:
+            try:
+                model, variables = load_model_for_noise(
+                    noise_type, args.saved_models_dir, dtype=dtype,
+                    stem="mask_denoiser",
+                )
+            except FileNotFoundError:
+                print(f"Model for noise type '{noise_type}' not found. Skipping.")
+                continue
+            results[noise_type] = test_noise_type_waveform(
+                model, variables, noise_type,
+                clean_dir=args.clean_dir, noise_dir=args.noise_dir,
+                output_dir=args.output_dir, sample_rate=args.sample_rate,
+                n_fft=args.n_fft, hop_length=args.hop_length,
+                num_audio_examples=args.num_audio_examples, seed=args.seed,
+            )
+        return results
     for noise_type in args.noise_types:
         try:
             model, variables = load_model_for_noise(
                 noise_type,
                 args.saved_models_dir,
-                dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+                dtype=dtype,
             )
         except FileNotFoundError:
             print(f"Model for noise type '{noise_type}' not found. Skipping.")

@@ -41,16 +41,23 @@ def load_model_for_noise(
     saved_models_dir: str = "./saved_models",
     dtype=jnp.bfloat16,
     model: UNet | None = None,
+    stem: str = "unet_denoiser",
 ):
     """Load the specialized model (test.py:54-68 analog).
 
-    Accepts this framework's ``unet_denoiser_{nt}.ckpt`` msgpack export OR a
+    Accepts this framework's ``{stem}_{nt}.ckpt`` msgpack export OR a
     reference ``unet_denoiser_{nt}.pth`` torch state_dict (converted on the
-    fly via ``train.torch_import``) — drop-in for existing ensembles.
+    fly via ``train.torch_import``) — drop-in for existing ensembles. Use
+    ``stem='mask_denoiser'`` with a ``ComplexMaskUNet`` model for the
+    complex-mask family.
     """
-    path = os.path.join(saved_models_dir, f"unet_denoiser_{noise_type}.ckpt")
+    path = os.path.join(saved_models_dir, f"{stem}_{noise_type}.ckpt")
     pth_path = os.path.join(saved_models_dir, f"unet_denoiser_{noise_type}.pth")
-    if not os.path.exists(path) and os.path.exists(pth_path):
+    if (
+        stem == "unet_denoiser"
+        and not os.path.exists(path)
+        and os.path.exists(pth_path)
+    ):
         from audiodenoiser_tpu.train.torch_import import load_pth
 
         payload = load_pth(pth_path)
@@ -64,9 +71,15 @@ def load_model_for_noise(
     if not os.path.exists(path):
         raise FileNotFoundError(f"Model file not found: {path}")
     if model is None:
-        model = UNet(dtype=dtype)
+        if stem == "mask_denoiser":
+            from audiodenoiser_tpu.models import ComplexMaskUNet
+
+            model = ComplexMaskUNet(dtype=dtype)
+        else:
+            model = UNet(dtype=dtype)
+    in_ch = 3 if stem == "mask_denoiser" else 1
     template = jax.eval_shape(
-        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, in_ch)))
     )
     template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
     payload = load_exported(path, {"params": template["params"],
@@ -305,5 +318,95 @@ def test_single_noise_type(
         _plot_comparison(
             noisy[i], denoised[i], clean[i],
             os.path.join(output_dir, f"{noise_type}_spectrogram_{i}.png"),
+        )
+    return metrics
+
+
+def test_noise_type_waveform(
+    model,
+    variables,
+    noise_type: str,
+    clean_dir: str,
+    noise_dir: str,
+    output_dir: str,
+    mode: str = "complex_mask",
+    sample_rate: int = 8000,
+    n_fft: int = 512,
+    hop_length: int = 128,
+    snr_db: float = 8.0,
+    reverb_wet_level: float = 0.35,
+    num_audio_examples: int = 5,
+    seed: int = 0,
+) -> Optional[dict]:
+    """Waveform-domain evaluation: corrupt test wavs on device, denoise
+    through the fused graph, score SI-SDR + the combined spectral loss.
+
+    This is the eval path for model families that need the complex STFT
+    (the mask model) — the reference's ``.npy`` artifacts store magnitudes
+    only. Writes ``{nt}_metrics.txt`` and example wavs like the
+    magnitude-path eval.
+    """
+    from audiodenoiser_tpu.data.builders import _corrupt_and_featurize
+    from audiodenoiser_tpu.data.pipeline import NoiseBank
+    from audiodenoiser_tpu.data.wav_io import load_wav_list, read_wav, write_wav
+
+    print(f"\n=== Waveform eval ({mode}) on noise type: {noise_type} ===")
+    clean_files = load_wav_list(clean_dir)
+    if not clean_files:
+        print(f"Skipping {noise_type}, no wavs in {clean_dir}")
+        return None
+    clips = [read_wav(f, sample_rate=sample_rate)[0] for f in clean_files]
+    min_len = min(len(c) for c in clips)
+    clean = jnp.asarray(np.stack([c[:min_len] for c in clips]))
+    noise_files = load_wav_list(noise_dir) if os.path.isdir(noise_dir) else []
+    key = jax.random.key(seed)
+    segs = (
+        NoiseBank(
+            [read_wav(f, sample_rate=sample_rate)[0] for f in noise_files],
+            target_len=min_len,
+        ).sample(key, clean.shape[0])
+        if (noise_files and noise_type == "urban")
+        else jnp.zeros_like(clean)
+    )
+    noisy_audio, clean_mag, _ = _corrupt_and_featurize(
+        key, clean, segs, noise_type, n_fft, hop_length, True, sample_rate,
+        snr_db, reverb_wet_level,
+    )
+
+    runner = DenoiserRunner(model, variables, n_fft, hop_length)
+    den_audio = runner.denoise_audio(noisy_audio, key, mode=mode)
+    den_mag = jnp.abs(stft_lib.stft(den_audio, n_fft, hop_length, center=True))
+
+    total, s, m, l1 = combined_perceptual_loss(
+        den_mag[..., None], clean_mag[..., None]
+    )
+    sdr_noisy = float(jnp.mean(si_sdr(noisy_audio, clean)))
+    sdr_den = float(jnp.mean(si_sdr(den_audio, clean)))
+    metrics = {
+        "total": float(total), "stft": float(s), "mel": float(m),
+        "l1": float(l1), "si_sdr_noisy": sdr_noisy, "si_sdr": sdr_den,
+    }
+    print(f"Total Loss: {metrics['total']:.6f}")
+    print(f"SI-SDR: {sdr_noisy:.3f} dB (noisy) -> {sdr_den:.3f} dB (denoised)")
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
+        f.write(f"Waveform-domain metrics ({mode}) for noise type '{noise_type}':\n")
+        f.write(f"Total Loss: {metrics['total']:.6f}\n")
+        f.write(f"STFT Loss: {metrics['stft']:.6f}\n")
+        f.write(f"Mel Loss: {metrics['mel']:.6f}\n")
+        f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
+        f.write(f"SI-SDR noisy: {sdr_noisy:.3f} dB\n")
+        f.write(f"SI-SDR denoised: {sdr_den:.3f} dB\n")
+    k = min(num_audio_examples, clean.shape[0])
+    noisy_np, den_np = np.asarray(noisy_audio), np.asarray(den_audio)
+    for i in range(k):
+        write_wav(
+            os.path.join(output_dir, f"{noise_type}_noisy_{i}.wav"),
+            noisy_np[i], sample_rate,
+        )
+        write_wav(
+            os.path.join(output_dir, f"{noise_type}_denoised_{i}.wav"),
+            den_np[i], sample_rate,
         )
     return metrics

@@ -155,3 +155,60 @@ class TestCLI:
                     "--model", "complex_mask",
                 ]
             )
+
+
+class TestMaskEvalCLI:
+    def test_waveform_eval_via_test_cli(self, tmp_path, rng):
+        """Export a tiny mask model, then drive the eval CLI end to end."""
+        import os
+
+        from audiodenoiser_tpu.cli.test import main as test_main
+        from audiodenoiser_tpu.data.wav_io import write_wav
+        from audiodenoiser_tpu.eval.runner import load_model_for_noise
+        from audiodenoiser_tpu.train import export_model
+
+        model = _tiny()
+        state = create_mask_train_state(jax.random.key(0), model)
+        sm = tmp_path / "saved_models"
+        sm.mkdir()
+        export_model(
+            str(sm / "mask_denoiser_white.ckpt"),
+            jax.device_get(state.params), jax.device_get(state.batch_stats),
+        )
+        clean_dir = tmp_path / "clean"
+        noise_dir = tmp_path / "noise"
+        clean_dir.mkdir(), noise_dir.mkdir()
+        for i in range(2):
+            write_wav(
+                str(clean_dir / f"c{i}.wav"),
+                np.clip(rng.standard_normal(16000) * 0.2, -1, 1), 8000,
+            )
+        # loader resolves the mask stem with an explicit small model
+        m, v = load_model_for_noise("white", str(sm), model=model, stem="mask_denoiser")
+        from audiodenoiser_tpu.eval.runner import test_noise_type_waveform
+
+        metrics = test_noise_type_waveform(
+            m, v, "white",
+            clean_dir=str(clean_dir), noise_dir=str(noise_dir),
+            output_dir=str(tmp_path / "out"), num_audio_examples=1,
+        )
+        assert np.isfinite(metrics["si_sdr"]) and np.isfinite(metrics["total"])
+        assert os.path.exists(tmp_path / "out" / "white_metrics.txt")
+        assert os.path.exists(tmp_path / "out" / "white_denoised_0.wav")
+        txt = (tmp_path / "out" / "white_metrics.txt").read_text()
+        assert "SI-SDR denoised" in txt
+
+    def test_missing_mask_model_skips(self, tmp_path, capsys):
+        from audiodenoiser_tpu.cli.test import main as test_main
+
+        out = test_main(
+            [
+                "--model", "complex_mask",
+                "--saved_models_dir", str(tmp_path),
+                "--clean_dir", str(tmp_path),
+                "--noise_dir", str(tmp_path),
+                "--output_dir", str(tmp_path / "o"),
+            ]
+        )
+        assert out == {}
+        assert "not found. Skipping." in capsys.readouterr().out
