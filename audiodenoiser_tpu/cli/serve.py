@@ -1,0 +1,74 @@
+"""CLI: serve a trained denoiser over HTTP.
+
+Usage:
+  python -m audiodenoiser_tpu.cli.serve --noise_type white \
+      --saved_models_dir ./saved_models --port 8800
+
+  curl -s -X POST --data-binary @noisy.wav \
+      'http://127.0.0.1:8800/denoise?mode=noisy_phase' > denoised.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="HTTP denoising service")
+    p.add_argument("--noise_type", default="white",
+                   choices=["white", "urban", "reverb", "noise_cancellation"])
+    p.add_argument("--saved_models_dir", default="./saved_models")
+    p.add_argument("--model", choices=["unet", "complex_mask"], default="unet")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8800)
+    p.add_argument("--sample_rate", type=int, default=8000)
+    p.add_argument("--bucket_seconds", type=float, default=2.0,
+                   help="requests are padded to multiples of this many "
+                   "seconds so the jit cache stays small")
+    p.add_argument("--max_seconds", type=float, default=60.0)
+    p.add_argument(
+        "--mode", default=None,
+        help="default reconstruction mode (noisy_phase unless --model "
+        "complex_mask, which implies complex_mask)",
+    )
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from audiodenoiser_tpu.eval.runner import DenoiserRunner, load_model_for_noise
+    from audiodenoiser_tpu.serve import DenoiseService, make_http_server
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    stem = "mask_denoiser" if args.model == "complex_mask" else "unet_denoiser"
+    model, variables = load_model_for_noise(
+        args.noise_type, args.saved_models_dir, dtype=dtype, stem=stem
+    )
+    runner = DenoiserRunner(model, variables)
+    default_mode = args.mode or (
+        "complex_mask" if args.model == "complex_mask" else "noisy_phase"
+    )
+    service = DenoiseService(
+        runner,
+        sample_rate=args.sample_rate,
+        bucket_samples=int(args.bucket_seconds * args.sample_rate),
+        max_seconds=args.max_seconds,
+        default_mode=default_mode,
+    )
+    server = make_http_server(service, args.host, args.port)
+    print(
+        f"Serving {stem}_{args.noise_type} on http://{args.host}:{args.port} "
+        f"(mode={default_mode})"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
