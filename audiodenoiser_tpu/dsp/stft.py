@@ -226,19 +226,36 @@ def istft(
     window: WindowSpec = "hann",
     center: bool = True,
     length: Optional[int] = None,
+    precision: str = "fft",
 ) -> jax.Array:
     """Inverse STFT of ``spec`` (..., freq, time) -> (..., samples).
 
     Matches ``librosa.istft`` (windowed overlap-add, squared-window
     normalization, center trimming) for the default hann/center=True setup
-    used at ``/root/reference/code/test.py:40``.
+    used at ``/root/reference/code/test.py:40``. ``precision='pallas'``
+    fuses iDFT+window+overlap-add into one TPU kernel.
     """
     n_fft = 2 * (spec.shape[-2] - 1) if n_fft is None else n_fft
     win_length = n_fft if win_length is None else win_length
     w = _resolve_window(window, win_length, n_fft)
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
-    frames = frames * w
-    y = overlap_add(frames, hop_length)
+    if precision == "pallas":
+        from audiodenoiser_tpu.ops.pallas import istft_pallas
+
+        batch_shape = spec.shape[:-2]
+        sb = spec.reshape(-1, *spec.shape[-2:])
+        y = istft_pallas(
+            jnp.real(sb),
+            jnp.imag(sb),
+            jnp.asarray(w),
+            n_fft,
+            hop_length,
+            interpret=jax.default_backend() == "cpu",
+        )
+        y = y.reshape(*batch_shape, y.shape[-1])
+    else:
+        frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+        frames = frames * w
+        y = overlap_add(frames, hop_length)
     n_frames = spec.shape[-1]
     inv_env = _wss_envelope(n_fft, hop_length, n_frames, w.tobytes(), win_length)
     y = y * inv_env

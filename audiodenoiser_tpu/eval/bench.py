@@ -40,7 +40,10 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
     variables = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, 64, 64, in_ch), jnp.float32))
     )(jax.random.key(0))
-    runner = DenoiserRunner(model, variables, n_fft=n_fft, hop_length=hop)
+    precision = "pallas" if jax.default_backend() == "tpu" else "fft"
+    runner = DenoiserRunner(
+        model, variables, n_fft=n_fft, hop_length=hop, precision=precision
+    )
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

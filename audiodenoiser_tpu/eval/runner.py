@@ -97,11 +97,13 @@ class DenoiserRunner:
         variables,
         n_fft: int = 512,
         hop_length: int = 128,
+        precision: str = "fft",  # "fft" | "pallas" STFT/iSTFT lowering
     ):
         self.model = model
         self.variables = variables
         self.n_fft = n_fft
         self.hop = hop_length
+        self.precision = precision
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def denoise_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
@@ -121,7 +123,9 @@ class DenoiserRunner:
         center: bool = True,
     ) -> jax.Array:
         """Fused STFT -> U-Net -> reconstruction, one compiled graph."""
-        spec = stft_lib.stft(audio, self.n_fft, self.hop, center=center)
+        spec = stft_lib.stft(
+            audio, self.n_fft, self.hop, center=center, precision=self.precision
+        )
         if mode == "complex_mask":
             # model must be a ComplexMaskUNet: stft -> mask -> single iSTFT
             from audiodenoiser_tpu.models.complex_mask import (
@@ -134,7 +138,7 @@ class DenoiserRunner:
             rec = apply_mask(cmask, spec)
             return stft_lib.istft(
                 rec, self.hop, n_fft=self.n_fft, center=center,
-                length=audio.shape[-1],
+                length=audio.shape[-1], precision=self.precision,
             )
         mag, phase = stft_lib.magphase(spec)
         den = self.model.apply(self.variables, mag[..., None], train=False)[..., 0]
@@ -143,7 +147,7 @@ class DenoiserRunner:
             rec = den.astype(jnp.complex64) * phase
             return stft_lib.istft(
                 rec, self.hop, n_fft=self.n_fft, center=center,
-                length=audio.shape[-1],
+                length=audio.shape[-1], precision=self.precision,
             )
         if mode in ("griffin_lim", "reference_gl"):
             gl_mode = "correct" if mode == "griffin_lim" else "reference"

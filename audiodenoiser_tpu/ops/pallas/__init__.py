@@ -1,4 +1,5 @@
 from audiodenoiser_tpu.ops.pallas.stft_kernel import stft_pallas
+from audiodenoiser_tpu.ops.pallas.istft_kernel import istft_pallas
 from audiodenoiser_tpu.ops.pallas.overlap_add_kernel import overlap_add_pallas
 
-__all__ = ["stft_pallas", "overlap_add_pallas"]
+__all__ = ["stft_pallas", "istft_pallas", "overlap_add_pallas"]

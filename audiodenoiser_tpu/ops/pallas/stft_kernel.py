@@ -46,25 +46,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+T_CHUNK = 16  # frames transformed per MXU call: bounds VMEM scratch
+
+
 def _stft_kernel(x_ref, cos_ref, sin_ref, win_ref, re_ref, im_ref, frames_ref,
                  *, n_fft: int, hop: int, t_frames: int):
-    def fill(t, _):
-        start = pl.multiple_of(t * hop, hop)
-        for r in range(BATCH_BLK):
-            frames_ref[r, t, :] = x_ref[r, pl.ds(start, n_fft)] * win_ref[0, :]
+    # t_frames is padded to a multiple of T_CHUNK by the wrapper
+    f_pad = cos_ref.shape[1]
+
+    def chunk_body(c, _):
+        base = pl.multiple_of(c * T_CHUNK, T_CHUNK)
+
+        def fill(t, _):
+            start = pl.multiple_of((base + t) * hop, hop)
+            for r in range(BATCH_BLK):
+                frames_ref[r, t, :] = x_ref[r, pl.ds(start, n_fft)] * win_ref[0, :]
+            return 0
+
+        jax.lax.fori_loop(0, T_CHUNK, fill, 0)
+        fw = frames_ref[:].reshape(BATCH_BLK * T_CHUNK, n_fft)
+        # HIGHEST keeps full fp32 mantissas through the MXU (3-pass bf16),
+        # holding the fused path within float tolerance of the rfft path
+        re = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(fw, sin_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        re_ref[:, pl.ds(base, T_CHUNK), :] = re.reshape(BATCH_BLK, T_CHUNK, f_pad)
+        im_ref[:, pl.ds(base, T_CHUNK), :] = im.reshape(BATCH_BLK, T_CHUNK, f_pad)
         return 0
 
-    jax.lax.fori_loop(0, t_frames, fill, 0)
-    fw = frames_ref[:].reshape(BATCH_BLK * t_frames, n_fft)
-    # HIGHEST keeps full fp32 mantissas through the MXU (3-pass bf16),
-    # holding the fused path within float tolerance of the rfft path
-    re = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(fw, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    f_pad = cos_ref.shape[1]
-    re_ref[:] = re.reshape(BATCH_BLK, t_frames, f_pad)
-    im_ref[:] = im.reshape(BATCH_BLK, t_frames, f_pad)
+    jax.lax.fori_loop(0, t_frames // T_CHUNK, chunk_body, 0)
 
 
 @functools.partial(
@@ -82,9 +93,13 @@ def stft_pallas(
         raise ValueError(f"expected (batch, samples), got {x.shape}")
     b, length = x.shape
     b_pad = _round_up(max(b, 1), BATCH_BLK)
-    if b_pad != b:
-        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
     t_frames = 1 + (length - n_fft) // hop_length
+    t_pad = _round_up(t_frames, T_CHUNK)
+    # pad rows so the trailing padded frames still slice valid memory
+    length_pad = (t_pad - 1) * hop_length + n_fft
+    if b_pad != b or length_pad != length:
+        x = jnp.pad(x, ((0, b_pad - b), (0, length_pad - length)))
+    length = length_pad
     n_freq = n_fft // 2 + 1
 
     n = np.arange(n_fft)
@@ -97,7 +112,7 @@ def stft_pallas(
     sin_b[:, :n_freq] = np.sin(ang)
 
     kernel = functools.partial(
-        _stft_kernel, n_fft=n_fft, hop=hop_length, t_frames=t_frames
+        _stft_kernel, n_fft=n_fft, hop=hop_length, t_frames=t_pad
     )
     re, im = pl.pallas_call(
         kernel,
@@ -110,16 +125,16 @@ def stft_pallas(
             pl.BlockSpec((1, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BATCH_BLK, t_frames, f_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((BATCH_BLK, t_pad, f_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BATCH_BLK, t_frames, f_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((BATCH_BLK, t_pad, f_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, t_frames, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, t_frames, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, t_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, t_pad, f_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((BATCH_BLK, t_frames, n_fft), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BATCH_BLK, T_CHUNK, n_fft), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b_pad * t_frames * n_fft * f_pad,
@@ -128,8 +143,8 @@ def stft_pallas(
         ),
     )(x, jnp.asarray(cos_b), jnp.asarray(sin_b),
       jnp.asarray(window, jnp.float32).reshape(1, n_fft))
-    # (Bpad, T, Fpad) -> (B, F, T) librosa layout
+    # (Bpad, Tpad, Fpad) -> (B, F, T) librosa layout
     return (
-        jnp.swapaxes(re[:b, :, :n_freq], -1, -2),
-        jnp.swapaxes(im[:b, :, :n_freq], -1, -2),
+        jnp.swapaxes(re[:b, :t_frames, :n_freq], -1, -2),
+        jnp.swapaxes(im[:b, :t_frames, :n_freq], -1, -2),
     )

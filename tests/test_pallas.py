@@ -58,3 +58,37 @@ class TestOverlapAddKernel:
     def test_rejects_unbatched(self):
         with pytest.raises(ValueError):
             overlap_add_pallas(jnp.zeros((10, 512)), 128, interpret=True)
+
+
+class TestIstftKernel:
+    def test_matches_irfft_ola(self, rng):
+        spec = (rng.standard_normal((3, 257, 20)) +
+                1j * rng.standard_normal((3, 257, 20))).astype(np.complex64)
+        from audiodenoiser_tpu.ops.pallas import istft_pallas
+
+        w = hann_window(512)
+        ours = np.asarray(
+            istft_pallas(
+                jnp.asarray(spec.real), jnp.asarray(spec.imag),
+                jnp.asarray(w), 512, 128, interpret=True,
+            )
+        )
+        frames = np.fft.irfft(np.swapaxes(spec, -1, -2), n=512, axis=-1) * w
+        ref = np.asarray(S.overlap_add(jnp.asarray(frames.astype(np.float32)), 128))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_full_istft_pallas_path_roundtrip(self, rng):
+        x = rng.standard_normal((2, 8000)).astype(np.float32) * 0.2
+        spec = S.stft(jnp.asarray(x), 512, 128, center=True)
+        a = np.asarray(S.istft(spec, 128, precision="pallas"))
+        b = np.asarray(S.istft(spec, 128))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_allclose(a, x[:, : a.shape[-1]], atol=1e-3)
+
+    def test_odd_nfft_rejected_dim(self):
+        from audiodenoiser_tpu.ops.pallas import istft_pallas
+
+        with pytest.raises(ValueError):
+            istft_pallas(jnp.zeros((1, 100, 4)), jnp.zeros((1, 100, 4)),
+                         jnp.zeros(512), 512, 128, interpret=True)
