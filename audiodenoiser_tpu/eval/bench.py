@@ -37,9 +37,9 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
     else:
         model = UNet(dtype=jnp.bfloat16)
         in_ch = 1
-    variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros((1, 64, 64, in_ch), jnp.float32))
-    )(jax.random.key(0))
+    from audiodenoiser_tpu.train.loop import init_variables
+
+    variables = init_variables(model, jax.random.key(0), (1, 64, 64, in_ch))
     precision = "pallas" if jax.default_backend() == "tpu" else "fft"
     runner = DenoiserRunner(
         model, variables, n_fft=n_fft, hop_length=hop, precision=precision

@@ -90,6 +90,14 @@ def make_optimizer(
     return tx
 
 
+@partial(jax.jit, static_argnames=("model", "input_shape"))
+def init_variables(model, key: jax.Array, input_shape: tuple):
+    """Jit-cached model init: flax Modules hash by configuration, so
+    re-creating the same architecture reuses the compiled initializer
+    instead of re-tracing per call site."""
+    return model.init(key, jnp.zeros(input_shape, jnp.float32), train=False)
+
+
 def create_train_state(
     key: jax.Array,
     model: UNet | None = None,
@@ -100,9 +108,7 @@ def create_train_state(
     **opt_kwargs,
 ) -> TrainState:
     model = UNet() if model is None else model
-    variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
-    )(key)
+    variables = init_variables(model, key, tuple(input_shape))
     tx = make_optimizer(learning_rate, weight_decay, clip_norm, **opt_kwargs)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

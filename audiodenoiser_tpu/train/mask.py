@@ -40,10 +40,10 @@ def create_mask_train_state(
     learning_rate: float = 1e-4,
     input_shape: tuple = (1, 64, 64, 3),
 ) -> TrainState:
+    from audiodenoiser_tpu.train.loop import init_variables
+
     model = ComplexMaskUNet() if model is None else model
-    variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
-    )(key)
+    variables = init_variables(model, key, tuple(input_shape))
     tx = make_optimizer(learning_rate)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
