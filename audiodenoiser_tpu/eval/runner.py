@@ -15,7 +15,12 @@ waveform-in/waveform-out denoising never leaves the device
   (fast path; also the quality-preferred masking approach);
 - ``griffin_lim``: true Griffin-Lim from the denoised magnitude;
 - ``reference_gl``: the reference's non-magnitude-reimposing loop
-  (``test.py:39-46``), for behavioral parity.
+  (``test.py:39-46``), for behavioral parity;
+- ``complex_mask``: bounded complex-ratio masking (requires a
+  ComplexMaskUNet) — magnitude AND phase corrected, one iSTFT.
+
+``precision='pallas'`` lowers the STFT/iSTFT through the fused TPU kernels
+in ``ops/pallas`` (the benchmark default on TPU).
 """
 
 from __future__ import annotations

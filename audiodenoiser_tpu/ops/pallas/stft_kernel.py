@@ -7,9 +7,9 @@ further and fuses the whole front end into a single VMEM-resident pass per
 batch tile:
 
   HBM: x tile (8 rows x L samples) --DMA--> VMEM
-    -> frame into (8, T, n_fft) scratch (strided copies, no HBM round-trip)
-    -> multiply by the analysis window (VPU)
-    -> dot with the real DFT bases (n_fft x F cos/sin) on the MXU
+    -> for each 16-frame chunk: frame into scratch (strided copies),
+       multiply by the analysis window (VPU), dot with the real DFT bases
+       (n_fft x F cos/sin) on the MXU
   <- write (8, T, F) real + imag planes
 
 i.e. the framed+windowed intermediate — 4x the signal size at the 512/128
@@ -19,10 +19,10 @@ bases are trace-time constants shared across the grid; the frequency axis
 is padded to the 128-lane boundary; the batch is tiled in groups of 8
 (the float32 sublane minimum).
 
-VMEM budget at defaults (L=16000, T=122): 8x64 KB rows + 8x(122x512x4B)
-frames scratch (2 MB) + two 512x384 bases (1.5 MB) + two (8,122,384)
-outputs (3 MB) — under the ~16 MB/core limit; tiles pipeline through the
-grid.
+VMEM budget at defaults (L=16000): 8x64 KB rows + an 8x16x512 chunk
+scratch (256 KB) + two 512x384 bases (1.5 MB) + two (8,T,384) outputs —
+the chunked frame loop keeps the footprint bounded for any T (a
+whole-frame scratch overflowed the ~16 MB/core limit at batch 256).
 
 Exposed through ``dsp.stft.stft(..., precision='pallas')``; exactness vs
 the jnp.fft path is asserted in ``tests/test_pallas.py`` (interpret mode on
