@@ -94,6 +94,10 @@ def parse_args(argv=None):
         help="Capture a jax.profiler trace of the run into this directory.",
     )
     ext.add_argument(
+        "--export_quantized", action="store_true",
+        help="re-export the best model with int8 conv kernels (~4x smaller).",
+    )
+    ext.add_argument(
         "--export_dir", type=str, default=None,
         help="Also export the best model as unet_denoiser_{noise_type}.ckpt "
         "into this directory (the saved_models/ workflow of test.py).",
@@ -292,8 +296,19 @@ def main(argv=None):
         stem = "unet_denoiser" if args.model == "unet" else "mask_denoiser"
         dst = os.path.join(args.export_dir, f"{stem}_{args.noise_type}.ckpt")
         if os.path.exists(result["best_path"]):
-            shutil.copyfile(result["best_path"], dst)
-            print(f"Exported best model to {dst}")
+            if args.export_quantized:
+                from audiodenoiser_tpu.train.checkpoints import (
+                    export_model,
+                    load_exported,
+                )
+
+                payload = load_exported(result["best_path"])
+                export_model(dst, payload["params"], payload["batch_stats"],
+                             quantize=True)
+                print(f"Exported int8-quantized best model to {dst}")
+            else:
+                shutil.copyfile(result["best_path"], dst)
+                print(f"Exported best model to {dst}")
     return result
 
 

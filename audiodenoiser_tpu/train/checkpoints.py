@@ -23,8 +23,21 @@ from flax import serialization
 import orbax.checkpoint as ocp
 
 
-def export_model(path: str, params: Any, batch_stats: Any) -> None:
-    payload = {"params": params, "batch_stats": batch_stats}
+def export_model(
+    path: str, params: Any, batch_stats: Any, quantize: bool = False
+) -> None:
+    """Single-file msgpack export; ``quantize=True`` stores conv kernels as
+    per-channel int8 (~4x smaller, see ``train.quantize``)."""
+    if quantize:
+        from audiodenoiser_tpu.train.quantize import quantize_tree
+
+        payload = {
+            "format": "int8-v1",
+            "params": quantize_tree(params),
+            "batch_stats": jax.device_get(batch_stats),
+        }
+    else:
+        payload = {"params": params, "batch_stats": batch_stats}
     data = serialization.to_bytes(payload)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
@@ -34,12 +47,20 @@ def export_model(path: str, params: Any, batch_stats: Any) -> None:
 
 
 def load_exported(path: str, template: Any | None = None) -> dict:
+    """Load an export, transparently dequantizing int8 payloads."""
     with open(path, "rb") as f:
         data = f.read()
+    raw = serialization.msgpack_restore(data)
+    if isinstance(raw, dict) and raw.get("format") == "int8-v1":
+        from audiodenoiser_tpu.train.quantize import dequantize_tree
+
+        raw = {
+            "params": dequantize_tree(raw["params"]),
+            "batch_stats": raw["batch_stats"],
+        }
     if template is not None:
-        return serialization.from_bytes(template, data)
-    payload = serialization.msgpack_restore(data)
-    return payload
+        return serialization.from_state_dict(template, raw)
+    return raw
 
 
 def save_train_state(ckpt_dir: str, state_tree: Any) -> None:
