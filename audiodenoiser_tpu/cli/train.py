@@ -81,6 +81,16 @@ def parse_args(argv=None):
         help="accumulate gradients over N micro-batches per optimizer step.",
     )
     ext.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="channel-TP degree on the device mesh; the data axis takes the "
+        "remaining devices automatically (n_devices / model_parallel).",
+    )
+    ext.add_argument(
+        "--mesh", choices=["auto", "on", "off"], default="auto",
+        help="auto: shard over a ('data','model') mesh iff >1 device is "
+        "visible; on/off force it.",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -175,6 +185,8 @@ def main(argv=None):
         warmup_steps=args.warmup_steps,
         grad_accum=args.grad_accum,
         remat=args.remat,
+        model_parallel=args.model_parallel,
+        use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
         extra_config=vars(args),
     )
 
@@ -282,6 +294,10 @@ def main(argv=None):
                 jax.random.key(args.seed),
                 ComplexMaskUNet(dtype=dtype),
                 learning_rate=args.learning_rate,
+                schedule=args.lr_schedule,
+                warmup_steps=args.warmup_steps,
+                total_steps=cfg.total_steps,
+                grad_accum=args.grad_accum,
             ),
             steps=(mask_train_step, mask_eval_step),
         )

@@ -179,6 +179,8 @@ class FitConfig:
     total_steps: int = 0  # required for cosine decay
     grad_accum: int = 1
     remat: bool = False
+    model_parallel: int = 1
+    use_mesh: bool | None = None  # None: auto (mesh iff >1 device visible)
     extra_config: dict = field(default_factory=dict)
 
 
@@ -212,6 +214,40 @@ def fit(
     logger.info(f"Full configuration: \n{json.dumps(cfg_dump, indent=2, default=str)}")
     logger.info(f"Using device: {jax.devices()[0]}")
 
+    # Device mesh (SURVEY.md §2 parallelism plan): shard the batch over
+    # 'data' and wide conv kernels over 'model'; XLA SPMD inserts the
+    # gradient all-reduce / channel collectives over ICI. On one chip this
+    # degenerates to no mesh at all — identical program to round 1.
+    use_mesh = (
+        config.use_mesh
+        if config.use_mesh is not None
+        else (jax.device_count() > 1 or config.model_parallel > 1)
+    )
+    mesh = None
+    if use_mesh:
+        from audiodenoiser_tpu.parallel import (
+            make_mesh,
+            shard_batch,
+            shard_train_state,
+        )
+
+        mesh = make_mesh(model_parallel=max(1, config.model_parallel))
+        logger.info(f"Device mesh: {dict(mesh.shape)}")
+
+    def place(x):
+        """Shard a (noisy|clean) batch over the data axis, wrap-padding a
+        ragged final batch up to a multiple of the axis size (the padded
+        rows re-use leading samples; epoch means already weight per-batch,
+        so the bias matches the existing ragged-batch averaging)."""
+        x = jnp.asarray(x)
+        if mesh is None:
+            return x
+        d = mesh.shape["data"]
+        target = -(-x.shape[0] // d) * d
+        if target != x.shape[0]:
+            x = x[jnp.arange(target) % x.shape[0]]
+        return shard_batch(x, mesh)
+
     step_fn, eval_fn = steps if steps is not None else (train_step, eval_step)
     if state_factory is not None:
         state = state_factory()
@@ -231,6 +267,8 @@ def fit(
         )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
 
     start_epoch = 0
     best_val = float("inf")
@@ -243,6 +281,8 @@ def fit(
         }
         restored = ckpt_lib.restore_train_state(resume_dir, template)
         state = restored["state"]
+        if mesh is not None:
+            state = shard_train_state(state, mesh)
         start_epoch = int(restored["epoch"]) + 1
         best_val = float(restored["best_val"])
         logger.info(f"Resumed from epoch {start_epoch} (best val {best_val:.6f})")
@@ -256,14 +296,14 @@ def fit(
         t0 = time.perf_counter()
         train_losses = []
         for noisy, clean in train_batches(epoch):
-            state, losses = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
+            state, losses = step_fn(state, place(noisy), place(clean))
             train_losses.append(losses)
         train_loss = _epoch_mean(train_losses)
         writer.add_scalar("Loss/train", train_loss, epoch)
 
         val_losses = []
         for noisy, clean in val_batches():
-            val_losses.append(eval_fn(state, jnp.asarray(noisy), jnp.asarray(clean)))
+            val_losses.append(eval_fn(state, place(noisy), place(clean)))
         val_loss = _epoch_mean(val_losses)
         if not val_losses:
             # empty validation split (tiny dataset): fall back to the train

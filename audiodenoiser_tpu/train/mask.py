@@ -39,12 +39,16 @@ def create_mask_train_state(
     model: ComplexMaskUNet | None = None,
     learning_rate: float = 1e-4,
     input_shape: tuple = (1, 64, 64, 3),
+    **opt_kwargs,
 ) -> TrainState:
+    """``opt_kwargs`` (schedule/warmup_steps/total_steps/grad_accum) pass
+    straight to ``make_optimizer`` so CLI flags are honored for this model
+    family too."""
     from audiodenoiser_tpu.train.loop import init_variables
 
     model = ComplexMaskUNet() if model is None else model
     variables = init_variables(model, key, tuple(input_shape))
-    tx = make_optimizer(learning_rate)
+    tx = make_optimizer(learning_rate, **opt_kwargs)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -56,8 +60,11 @@ def create_mask_train_state(
 
 
 def _mask_losses(state: TrainState, params, noisy_audio, clean_audio, train: bool):
-    spec = stft_lib.stft(noisy_audio, N_FFT, HOP, center=False)
-    clean_mag = jnp.abs(stft_lib.stft(clean_audio, N_FFT, HOP, center=False))
+    # center=True everywhere: inference (models/complex_mask.denoise_waveform,
+    # eval/runner complex_mask mode) uses center=True, so training must see
+    # the same edge-frame statistics.
+    spec = stft_lib.stft(noisy_audio, N_FFT, HOP, center=True)
+    clean_mag = jnp.abs(stft_lib.stft(clean_audio, N_FFT, HOP, center=True))
     feats = spectrogram_features(spec)
     variables = {"params": params, "batch_stats": state.batch_stats}
     if train:
@@ -73,7 +80,7 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio, train: boo
         jnp.abs(s_hat)[..., None], clean_mag[..., None]
     )
     y_hat = stft_lib.istft(
-        s_hat, HOP, n_fft=N_FFT, center=False, length=clean_audio.shape[-1]
+        s_hat, HOP, n_fft=N_FFT, center=True, length=clean_audio.shape[-1]
     )
     wav_l1 = jnp.mean(jnp.abs(y_hat - clean_audio))
     total = losses.total + WAVEFORM_L1_WEIGHT * wav_l1

