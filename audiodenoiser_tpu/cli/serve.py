@@ -32,12 +32,19 @@ def parse_args(argv=None):
         "complex_mask, which implies complex_mask)",
     )
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument(
+        "--precision_path", choices=["auto", "pallas", "matmul", "fft"],
+        default="auto",
+        help="STFT/iSTFT kernel path; auto picks the fused Pallas kernels "
+        "on TPU (matching the benchmark) and fft elsewhere.",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from audiodenoiser_tpu.eval.runner import DenoiserRunner, load_model_for_noise
@@ -48,7 +55,13 @@ def main(argv=None):
     model, variables = load_model_for_noise(
         args.noise_type, args.saved_models_dir, dtype=dtype, stem=stem
     )
-    runner = DenoiserRunner(model, variables)
+    # mirror eval/bench.py: serving uses the fused Pallas STFT/iSTFT on TPU
+    # (bucketed clips are short, so the kernels fit VMEM)
+    if args.precision_path == "auto":
+        path = "pallas" if jax.default_backend() == "tpu" else "fft"
+    else:
+        path = args.precision_path
+    runner = DenoiserRunner(model, variables, precision=path)
     default_mode = args.mode or (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
