@@ -306,7 +306,11 @@ def test_single_noise_type(
         f.write(f"Mel Loss: {metrics['mel']:.6f}\n")
         f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
         if "si_sdr" in metrics:
-            f.write(f"SI-SDR: {metrics['si_sdr']:.3f} dB\n")
+            # labeled explicitly: this is a spectral-reconstruction proxy
+            # (zero-phase iSTFT of magnitudes — the npy test set stores no
+            # phase/waveform); the waveform-domain eval below is the true
+            # SI-SDR surface
+            f.write(f"SI-SDR (mag-only recon): {metrics['si_sdr']:.3f} dB\n")
 
     # denoised reconstructions (test.py:141-148)
     if k > 0:
