@@ -72,6 +72,25 @@ class TestOnline:
         out = sess.process(np.zeros(identity_streamer.chunk - 1, np.float32))
         assert len(out) == 0
 
+    def test_multi_hop_packet_is_one_device_step(self, identity_streamer, rng):
+        """A process() call with k completed hops runs ONE compiled multi-hop
+        scan (device-resident WOLA state), not k host round-trips."""
+        sd = identity_streamer
+        sess = sd.session()
+        calls = []
+        orig = sd._session_steps
+
+        def counting(state, hops):
+            calls.append(hops.shape)
+            return orig(state, hops)
+
+        sess.p = type(sd)(sd.runner, sd.chunk, sd.sample_rate)
+        sess.p._session_steps = counting
+        x = np.clip(rng.standard_normal(4 * sd.hop) * 0.2, -1, 1).astype(np.float32)
+        out = sess.process(x)
+        assert calls == [(4, sd.hop)]
+        assert len(out) == 3 * sd.hop  # 4 hops finalized minus the lead-in
+
     def test_emission_rate(self, identity_streamer, rng):
         """After priming, each hop of input yields a hop of output."""
         sess = identity_streamer.session()
