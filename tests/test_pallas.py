@@ -86,6 +86,16 @@ class TestIstftKernel:
         np.testing.assert_allclose(a, b, atol=1e-4)
         np.testing.assert_allclose(a, x[:, : a.shape[-1]], atol=1e-3)
 
+    def test_long_clip_chunked_ola(self, rng):
+        """T-chunked inverse kernel: a long clip (many T_CHUNK sweeps with
+        spill carry, incl. a ragged final chunk) still matches irfft+OLA —
+        the unchunked version overflowed VMEM past ~8 s clips."""
+        x = rng.standard_normal((1, 80000)).astype(np.float32) * 0.2  # 10 s
+        spec = S.stft(jnp.asarray(x), 512, 128, center=True)
+        a = np.asarray(S.istft(spec, 128, precision="pallas", length=80000))
+        b = np.asarray(S.istft(spec, 128, length=80000))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
     def test_odd_nfft_rejected_dim(self):
         from audiodenoiser_tpu.ops.pallas import istft_pallas
 
