@@ -29,6 +29,7 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
 
     sr, hop, n_fft = 8000, 128, 512
     n_samples = int(sr * clip_seconds)
+    run_mode = mode
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
@@ -40,6 +41,13 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
     from audiodenoiser_tpu.train.loop import init_variables
 
     variables = init_variables(model, jax.random.key(0), (1, 64, 64, in_ch))
+    if mode == "int8":
+        # int8 MXU compute path: fold BN, quantize, swap in the shim model
+        from audiodenoiser_tpu.models import Int8UNet, prepare_int8
+
+        variables = prepare_int8(variables["params"], variables["batch_stats"])
+        model = Int8UNet()
+        run_mode = "noisy_phase"
     precision = "pallas" if jax.default_backend() == "tpu" else "fft"
     runner = DenoiserRunner(
         model, variables, n_fft=n_fft, hop_length=hop, precision=precision
@@ -59,25 +67,29 @@ def run_bench(batch_size: int = 256, clip_seconds: float = 2.0, iters: int = 20,
         return float(out[(0,) * out.ndim])
 
     for _ in range(warmup):
-        sync(runner.denoise_audio(audio, key, mode=mode))
+        sync(runner.denoise_audio(audio, key, mode=run_mode))
     t0 = time.perf_counter()
     if pipelined:
         # steady-state serving throughput: keep the device queue full,
         # one barrier at the end
-        outs = [runner.denoise_audio(audio, key, mode=mode) for _ in range(iters)]
+        outs = [
+            runner.denoise_audio(audio, key, mode=run_mode) for _ in range(iters)
+        ]
         for o in outs:
             sync(o)
     else:
         # per-batch latency: barrier every iteration
         for _ in range(iters):
-            sync(runner.denoise_audio(audio, key, mode=mode))
+            sync(runner.denoise_audio(audio, key, mode=run_mode))
     dt = time.perf_counter() - t0
 
     frames_per_clip = 1 + n_samples // hop  # center=True STFT frames
     frames = batch_size * frames_per_clip * iters
     fps = frames / dt
+    label = " int8-MXU" if mode == "int8" else ""
     return {
-        "metric": "spectrogram_frames_per_sec_per_chip (STFT->UNet->iSTFT fused)",
+        "metric": "spectrogram_frames_per_sec_per_chip "
+                  f"(STFT->UNet{label}->iSTFT fused)",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 10000.0, 3),
@@ -143,7 +155,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="noisy_phase",
                    choices=["noisy_phase", "griffin_lim", "reference_gl",
-                            "complex_mask"])
+                            "complex_mask", "int8"])
     p.add_argument("--latency", action="store_true",
                    help="measure per-batch latency (barrier every iteration) "
                    "instead of pipelined serving throughput")

@@ -5,6 +5,7 @@ from audiodenoiser_tpu.models.complex_mask import (
     denoise_waveform,
     spectrogram_features,
 )
+from audiodenoiser_tpu.models.int8 import Int8UNet, prepare_int8
 
 __all__ = [
     "UNet",
@@ -14,4 +15,6 @@ __all__ = [
     "apply_mask",
     "denoise_waveform",
     "spectrogram_features",
+    "Int8UNet",
+    "prepare_int8",
 ]
