@@ -100,6 +100,13 @@ def parse_args(argv=None):
         help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
     )
     ext.add_argument(
+        "--snr_min", type=float, default=None,
+        help="on_device pipeline: with --snr_max, train with a per-example "
+        "uniform SNR curriculum in [snr_min, snr_max] dB instead of the "
+        "reference's fixed 8 dB (validation stays at the fixed level).",
+    )
+    ext.add_argument("--snr_max", type=float, default=None)
+    ext.add_argument(
         "--profile_dir", type=str, default=None,
         help="Capture a jax.profiler trace of the run into this directory.",
     )
@@ -247,7 +254,13 @@ def main(argv=None):
         tr_idx, va_idx = split_train_val(len(chunks), 0.1, seed=args.seed)
         if len(va_idx) == 0:
             va_idx = tr_idx[:1]
-        mixer = OnDeviceMixer(chunks[tr_idx], args.noise_type, noise_bank=bank)
+        snr_kwargs = {}
+        if args.snr_min is not None and args.snr_max is not None:
+            snr_kwargs["snr_db"] = (args.snr_min, args.snr_max)
+        mixer = OnDeviceMixer(
+            chunks[tr_idx], args.noise_type, noise_bank=bank, **snr_kwargs
+        )
+        # validation stays at the reference's fixed SNR for comparability
         val_mixer = OnDeviceMixer(chunks[va_idx], args.noise_type, noise_bank=bank)
         n_steps = args.steps_per_epoch or max(1, len(mixer) // args.batch_size)
         val_steps = max(1, n_steps // 10)

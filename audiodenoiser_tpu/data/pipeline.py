@@ -135,18 +135,38 @@ class OnDeviceMixer:
         clean = self.clean[idx]
         return self._corrupt(k_noise, clean, batch_size), clean
 
+    def _snr(self, key, batch_size):
+        """Fixed reference SNR (scalar) or a per-example curriculum draw
+        (``snr_db=(lo, hi)`` samples uniformly per chunk — the model sees a
+        spread of corruption strengths instead of one frozen difficulty)."""
+        snr = self.cfg["snr_db"]
+        if isinstance(snr, (tuple, list)):
+            lo, hi = snr
+            return jax.random.uniform(
+                key, (batch_size, 1), minval=float(lo), maxval=float(hi)
+            )
+        return snr
+
     def _corrupt(self, k_noise, clean, batch_size):
         cfg = self.cfg
         nt = self.noise_type
         if nt == "white":
+            if isinstance(cfg["snr_db"], (tuple, list)):
+                k_noise, k_snr = jax.random.split(k_noise)
+                keys = jax.random.split(k_noise, batch_size)
+                snr = self._snr(k_snr, batch_size)
+                return jax.vmap(noise_lib.white)(keys, clean, snr[:, 0])
+            # scalar path keeps the original key stream (reference parity)
             keys = jax.random.split(k_noise, batch_size)
             return jax.vmap(lambda k, c: noise_lib.white(k, c, cfg["snr_db"]))(
                 keys, clean
             )
         if nt == "urban":
-            k_bank, _ = jax.random.split(k_noise)
+            k_bank, k_snr = jax.random.split(k_noise)
             segs = self.bank.sample(k_bank, batch_size)
-            scaled = noise_lib.snr_scale(clean, segs, cfg["snr_db"])
+            scaled = noise_lib.snr_scale(
+                clean, segs, self._snr(k_snr, batch_size)
+            )
             return jnp.clip(clean + scaled, -1.0, 1.0)
         if nt == "reverb":
             return noise_lib.reverb(

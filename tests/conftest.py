@@ -9,6 +9,10 @@ hardware, and multi-chip sharding paths are exercised on
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence the per-load cpu_aot_loader LOG(ERROR) about XLA's synthetic
+# +prefer-no-scatter/+prefer-no-gather pseudo-features when reloading
+# persistent-cache entries (the real ISA feature sets match)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +25,17 @@ import jax  # noqa: E402
 # the outer environment; force the CPU backend before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: this box has ONE cpu core, so XLA compiles
+# dominate suite wall time (~20 min cold). With the cache, re-runs skip
+# every unchanged compile (measured 12.3 s -> 1.0 s for a UNet init); keys
+# hash the HLO, so edits recompile exactly what changed.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -228,6 +228,36 @@ class TestOnDeviceMixer:
         b, _ = mixer.sample(jax.random.key(1), 2)
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
+    def test_snr_curriculum_varies_noise_level(self, chunks):
+        """snr_db=(lo, hi) draws a per-example SNR: the realized residual
+        SNRs must spread across the range instead of clustering at one
+        level, and the scalar path must be unaffected."""
+        mixer = OnDeviceMixer(chunks, "white", snr_db=(-5.0, 25.0))
+        key = jax.random.key(3)
+        noisy, clean = mixer.sample_audio(key, 64)
+        resid = np.asarray(noisy) - np.asarray(clean)
+        snr = 20 * np.log10(
+            (np.sqrt(np.mean(np.asarray(clean) ** 2, axis=-1)) + 1e-12)
+            / (np.sqrt(np.mean(resid**2, axis=-1)) + 1e-12)
+        )
+        # clipping perturbs the realized SNR slightly; the spread is the point
+        assert snr.std() > 3.0, snr.std()
+        assert snr.min() < 8.0 < snr.max(), (snr.min(), snr.max())
+
+        fixed = OnDeviceMixer(chunks, "white")
+        a, _ = fixed.sample_audio(jax.random.key(5), 4)
+        b, _ = fixed.sample_audio(jax.random.key(5), 4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_snr_curriculum_urban(self, chunks, rng):
+        bank = NoiseBank([rng.standard_normal(9000).astype(np.float32)])
+        mixer = OnDeviceMixer(chunks, "urban", noise_bank=bank,
+                              snr_db=(0.0, 20.0))
+        noisy, clean = mixer.sample_audio(jax.random.key(0), 8)
+        resid = np.asarray(noisy) - np.asarray(clean)
+        rms = np.sqrt(np.mean(resid**2, axis=-1))
+        assert rms.std() / (rms.mean() + 1e-12) > 0.2  # per-example spread
+
 
 class TestBatchesErrorPropagation:
     def test_worker_exception_reraised(self, tmp_path):

@@ -105,7 +105,7 @@ class TestMeshTrainingCLI:
         monkeypatch.setattr(
             loop_mod, "UNet",
             lambda dtype, remat=False: UNet(
-                features=(8, 128), bottleneck=256, dtype=dtype, remat=remat
+                features=(8, 128), bottleneck=128, dtype=dtype, remat=remat
             ),
         )
         data_dir = tmp_path / "white"
@@ -154,7 +154,7 @@ class TestMeshTrainingCLI:
         )
         data_dir = tmp_path / "white"
         data_dir.mkdir()
-        _write_npy_dataset(data_dir, n=7, shape=(32, 32))  # 6 train: 5+1 ragged
+        _write_npy_dataset(data_dir, n=7, shape=(16, 16))  # 6 train: 5+1 ragged
         out = main(
             [
                 "--base_dataset_path", str(tmp_path),

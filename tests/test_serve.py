@@ -103,3 +103,73 @@ class TestServe:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req)
         assert e.value.code == 400
+
+
+class TestMicroBatching:
+    def _service_with_fake_runner(self, delay=0.05, **kwargs):
+        import time as _time
+
+        class FakeRunner:
+            def __init__(self):
+                self.batch_sizes = []
+
+            def denoise_audio(self, audio, key, mode="noisy_phase"):
+                self.batch_sizes.append(audio.shape[0])
+                _time.sleep(delay)  # device "busy": lets followers pile up
+                return audio  # identity
+
+        fake = FakeRunner()
+        return DenoiseService(fake, bucket_samples=4000, **kwargs), fake
+
+    def test_concurrent_requests_coalesce(self, rng):
+        """Requests arriving while the device is busy run as ONE batched
+        call, and every caller gets its own (trimmed) result back."""
+        service, fake = self._service_with_fake_runner()
+        clips = [
+            (0.1 * (i + 1) * np.ones(2000 + 100 * i)).astype(np.float32)
+            for i in range(5)
+        ]
+        results = [None] * 5
+
+        def call(i):
+            results[i] = service.denoise(clips[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(5):
+            np.testing.assert_array_equal(results[i], clips[i])
+        assert service.requests_served == 5
+        # strictly fewer device calls than requests = real coalescing
+        assert service.batches_run < 5
+        assert max(fake.batch_sizes) > 1
+
+    def test_mixed_buckets_not_merged(self):
+        service, fake = self._service_with_fake_runner(delay=0.02)
+        a = np.ones(2000, np.float32)   # bucket 4000
+        b = np.ones(6000, np.float32)   # bucket 8000
+        results = {}
+
+        def call(name, clip):
+            results[name] = service.denoise(clip)
+
+        ts = [threading.Thread(target=call, args=("a", a)),
+              threading.Thread(target=call, args=("b", b))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(results["a"]) == 2000 and len(results["b"]) == 6000
+        np.testing.assert_array_equal(results["a"], a)
+        np.testing.assert_array_equal(results["b"], b)
+
+    def test_error_propagates_to_caller(self):
+        class BoomRunner:
+            def denoise_audio(self, audio, key, mode="noisy_phase"):
+                raise RuntimeError("boom")
+
+        service = DenoiseService(BoomRunner(), bucket_samples=4000)
+        with pytest.raises(RuntimeError, match="boom"):
+            service.denoise(np.ones(100, np.float32))

@@ -349,13 +349,22 @@ class TestDistributedBootstrap:
 
 class TestNoiseTypeAllEqualsSyntax:
     def test_equals_form_flag_rewrite(self, tmp_path, monkeypatch):
+        """`--flag=value` syntax must survive the per-noise-type rewrite.
+
+        Training itself is stubbed — the subject is the argv rewriting (the
+        real `--noise_type all` integration run lives in
+        TestTrainAllTypes::test_cli_noise_type_all)."""
         import audiodenoiser_tpu.train.loop as loop_mod
         from audiodenoiser_tpu.cli.train import main
 
-        monkeypatch.setattr(
-            loop_mod, "UNet",
-            lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16, dtype=dtype, remat=remat),
-        )
+        seen = []
+
+        def fake_fit(cfg, train_batches, val_batches, **kwargs):
+            seen.append((cfg.run_name, cfg.extra_config["noise_type"]))
+            return {"best_val": 0.0, "best_path": "", "run_dir": "",
+                    "history": [], "state": None}
+
+        monkeypatch.setattr(loop_mod, "fit", fake_fit)
         for nt in ("white", "urban", "reverb", "noise_cancellation"):
             d = tmp_path / nt
             d.mkdir()
@@ -372,3 +381,7 @@ class TestNoiseTypeAllEqualsSyntax:
             ]
         )
         assert set(out) == {"white", "urban", "reverb", "noise_cancellation"}
+        assert seen == [
+            ("eq_white", "white"), ("eq_urban", "urban"),
+            ("eq_reverb", "reverb"), ("eq_noise_cancellation", "noise_cancellation"),
+        ]
