@@ -182,10 +182,6 @@ class TestMultiHost:
         import subprocess
         import sys
 
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            port = s.getsockname()[1]
-
         child = tmp_path / "child.py"
         child.write_text(
             "import sys\n"
@@ -204,25 +200,46 @@ class TestMultiHost:
             "assert is_primary() == (jax.process_index() == 0)\n"
             "print('CHILD_OK', jax.process_index(), flush=True)\n"
         )
-        procs = []
-        for pid in (0, 1):
-            env = dict(
-                os.environ,
-                JAX_PLATFORMS="cpu",
-                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                JAX_NUM_PROCESSES="2",
-                JAX_PROCESS_ID=str(pid),
-            )
-            procs.append(
-                subprocess.Popen(
-                    [sys.executable, str(child)], env=env,
-                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        def run_pair():
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            procs = []
+            for pid in (0, 1):
+                env = dict(
+                    os.environ,
+                    JAX_PLATFORMS="cpu",
+                    JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                    JAX_NUM_PROCESSES="2",
+                    JAX_PROCESS_ID=str(pid),
                 )
+                procs.append(
+                    subprocess.Popen(
+                        [sys.executable, str(child)], env=env,
+                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                        text=True,
+                    )
+                )
+            try:
+                outs = [p.communicate(timeout=300)[0] for p in procs]
+            except subprocess.TimeoutExpired:
+                for p in procs:
+                    p.kill()
+                return ["TIMEOUT"], procs
+            return outs, procs
+
+        # one retry with a fresh port: under heavy CPU contention the gloo
+        # rendezvous can miss its window; a clean second attempt is cheap
+        for attempt in (0, 1):
+            outs, procs = run_pair()
+            ok = all(
+                p.returncode == 0 and "CHILD_OK" in out
+                for p, out in zip(procs, outs)
             )
-        outs = [p.communicate(timeout=120)[0] for p in procs]
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, out
-            assert "CHILD_OK" in out, out
+            if ok:
+                break
+            if attempt == 1:
+                raise AssertionError(f"multi-host bootstrap failed twice: {outs}")
 
 
 class TestGraftEntry:
