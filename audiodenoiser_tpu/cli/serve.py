@@ -38,6 +38,15 @@ def parse_args(argv=None):
         help="STFT/iSTFT kernel path; auto picks the fused Pallas kernels "
         "on TPU (matching the benchmark) and fft elsewhere.",
     )
+    p.add_argument(
+        "--mesh", choices=["auto", "on", "off"], default="auto",
+        help="auto: shard micro-batches over a ('data','model') device "
+        "mesh iff >1 device is visible; on: force; off: single device.",
+    )
+    p.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="channel-TP degree on the device mesh.",
+    )
     return p.parse_args(argv)
 
 
@@ -61,7 +70,16 @@ def main(argv=None):
         path = "pallas" if jax.default_backend() == "tpu" else "fft"
     else:
         path = args.precision_path
-    runner = DenoiserRunner(model, variables, precision=path)
+    use_mesh = {"auto": None, "on": True, "off": False}[args.mesh]
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1 or args.model_parallel > 1
+    mesh = None
+    if use_mesh:
+        from audiodenoiser_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model_parallel=max(1, args.model_parallel))
+        print(f"Device mesh: {dict(mesh.shape)}")
+    runner = DenoiserRunner(model, variables, precision=path, mesh=mesh)
     default_mode = args.mode or (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )

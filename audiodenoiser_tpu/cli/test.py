@@ -44,7 +44,33 @@ def parse_args(argv=None):
     )
     p.add_argument("--clean_dir", default="./data/test/clean")
     p.add_argument("--noise_dir", default="./data/test/noise")
+    p.add_argument(
+        "--mesh", choices=["auto", "on", "off"], default="auto",
+        help="auto: shard eval batches over a ('data','model') device mesh "
+        "iff >1 device is visible; on: force; off: single device. Same "
+        "semantics as cli.train.",
+    )
+    p.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="channel-TP degree on the device mesh; the data axis takes "
+        "the remaining devices (n_devices / model_parallel).",
+    )
     return p.parse_args(argv)
+
+
+def _build_mesh(args):
+    import jax
+
+    use = {"auto": None, "on": True, "off": False}[args.mesh]
+    if use is None:
+        use = jax.device_count() > 1 or args.model_parallel > 1
+    if not use:
+        return None
+    from audiodenoiser_tpu.parallel import make_mesh
+
+    mesh = make_mesh(model_parallel=max(1, args.model_parallel))
+    print(f"Device mesh: {dict(mesh.shape)}")
+    return mesh
 
 
 def main(argv=None):
@@ -63,6 +89,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     results = {}
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    mesh = _build_mesh(args)
     if args.model == "complex_mask":
         from audiodenoiser_tpu.eval.runner import test_noise_type_waveform
 
@@ -81,6 +108,7 @@ def main(argv=None):
                 output_dir=args.output_dir, sample_rate=args.sample_rate,
                 n_fft=args.n_fft, hop_length=args.hop_length,
                 num_audio_examples=args.num_audio_examples, seed=args.seed,
+                mesh=mesh,
             )
         return results
     for noise_type in args.noise_types:
@@ -105,6 +133,7 @@ def main(argv=None):
             num_audio_examples=args.num_audio_examples,
             gl_mode=args.gl_mode,
             seed=args.seed,
+            mesh=mesh,
         )
     return results
 

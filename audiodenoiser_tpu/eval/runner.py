@@ -94,7 +94,16 @@ def load_model_for_noise(
 
 
 class DenoiserRunner:
-    """Jitted spectrogram-denoise and fused waveform-denoise graphs."""
+    """Jitted spectrogram-denoise and fused waveform-denoise graphs.
+
+    Pass ``mesh`` (a ('data','model') ``jax.sharding.Mesh`` from
+    ``parallel.make_mesh``) to scale inference over a device mesh: the
+    batch dimension shards over 'data' and the wide conv kernels channel-TP
+    shard over 'model' — the same SPMD layout training uses (reference is
+    strictly single-device, SURVEY.md §2). Batches not divisible by the
+    data axis are zero-padded on dispatch and trimmed on return. The mesh
+    path expects eager (non-traced) calls.
+    """
 
     def __init__(
         self,
@@ -103,22 +112,39 @@ class DenoiserRunner:
         n_fft: int = 512,
         hop_length: int = 128,
         precision: str = "fft",  # "fft" | "pallas" STFT/iSTFT lowering
+        mesh=None,  # jax.sharding.Mesh | None
     ):
         self.model = model
-        self.variables = variables
         self.n_fft = n_fft
         self.hop = hop_length
         self.precision = precision
+        self.mesh = mesh
+        if mesh is not None:
+            from audiodenoiser_tpu.parallel import shard_variables
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+            variables = shard_variables(variables, mesh)
+        self.variables = variables
+
+    def _pad_and_shard(self, x: jax.Array):
+        """Zero-pad batch to a multiple of the data axis and place it."""
+        from audiodenoiser_tpu.parallel import batch_sharding
+
+        n = x.shape[0]
+        d = self.mesh.shape["data"]
+        pad = (-n) % d
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0
+            )
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim)), n
+
     def denoise_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
         """(N, F, T) magnitudes -> (N, F, T) denoised magnitudes."""
-        out = self.model.apply(self.variables, noisy_mag[..., None], train=False)
-        return out[..., 0]
+        if self.mesh is None:
+            return self._denoise_spectrogram(noisy_mag)
+        x, n = self._pad_and_shard(noisy_mag)
+        return self._denoise_spectrogram(x)[:n]
 
-    @functools.partial(
-        jax.jit, static_argnames=("self", "mode", "gl_iters", "center")
-    )
     def denoise_audio(
         self,
         audio: jax.Array,  # (..., samples)
@@ -128,6 +154,31 @@ class DenoiserRunner:
         center: bool = True,
     ) -> jax.Array:
         """Fused STFT -> U-Net -> reconstruction, one compiled graph."""
+        if self.mesh is None or audio.ndim < 2:
+            return self._denoise_audio(
+                audio, key, mode=mode, gl_iters=gl_iters, center=center
+            )
+        x, n = self._pad_and_shard(audio)
+        return self._denoise_audio(
+            x, key, mode=mode, gl_iters=gl_iters, center=center
+        )[:n]
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _denoise_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
+        out = self.model.apply(self.variables, noisy_mag[..., None], train=False)
+        return out[..., 0]
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "mode", "gl_iters", "center")
+    )
+    def _denoise_audio(
+        self,
+        audio: jax.Array,
+        key: jax.Array,
+        mode: str = "noisy_phase",
+        gl_iters: int = 50,
+        center: bool = True,
+    ) -> jax.Array:
         spec = stft_lib.stft(
             audio, self.n_fft, self.hop, center=center, precision=self.precision
         )
@@ -210,6 +261,7 @@ def test_single_noise_type(
     seed: int = 0,
     compute_si_sdr: bool = True,
     eval_batch_size: int = 64,
+    mesh=None,
 ) -> Optional[dict]:
     """Reference-parity per-noise-type evaluation (test.py:74-175).
 
@@ -232,7 +284,7 @@ def test_single_noise_type(
     print(f"Found {n} test samples for noise type '{noise_type}'")
     os.makedirs(output_dir, exist_ok=True)
 
-    runner = DenoiserRunner(model, variables, n_fft, hop_length)
+    runner = DenoiserRunner(model, variables, n_fft, hop_length, mesh=mesh)
     key = jax.random.key(seed)
 
     # few noisy reconstructions (test.py:103-109)
@@ -350,6 +402,7 @@ def test_noise_type_waveform(
     reverb_wet_level: float = 0.35,
     num_audio_examples: int = 5,
     seed: int = 0,
+    mesh=None,
 ) -> Optional[dict]:
     """Waveform-domain evaluation: corrupt test wavs on device, denoise
     through the fused graph, score SI-SDR + the combined spectral loss.
@@ -386,7 +439,7 @@ def test_noise_type_waveform(
         snr_db, reverb_wet_level,
     )
 
-    runner = DenoiserRunner(model, variables, n_fft, hop_length)
+    runner = DenoiserRunner(model, variables, n_fft, hop_length, mesh=mesh)
     den_audio = runner.denoise_audio(noisy_audio, key, mode=mode)
     den_mag = jnp.abs(stft_lib.stft(den_audio, n_fft, hop_length, center=True))
 

@@ -4,6 +4,7 @@ from audiodenoiser_tpu.parallel.mesh import (
     param_shardings,
     shard_batch,
     shard_train_state,
+    shard_variables,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "param_shardings",
     "shard_batch",
     "shard_train_state",
+    "shard_variables",
 ]

@@ -104,3 +104,11 @@ def shard_train_state(state: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, state)
+
+
+def shard_variables(variables: Any, mesh: Mesh) -> Any:
+    """Place a Flax variable collection ({'params', 'batch_stats', ...}) on
+    the mesh for inference: wide conv kernels channel-TP sharded over
+    'model', everything else replicated — the same rules training uses, so
+    eval/serving scale over the identical layout."""
+    return shard_train_state(variables, mesh)

@@ -171,6 +171,51 @@ class TestMeshTrainingCLI:
         assert np.isfinite(out["history"][0]["train"])
 
 
+class TestMeshInference:
+    def test_meshed_denoise_spectrogram_matches_single_device(self):
+        """DenoiserRunner(mesh=...) must be numerically identical to the
+        single-device runner — dp batch sharding + channel-TP are pure
+        implementation detail; a ragged batch (5 over a 4-wide data axis)
+        exercises the pad/trim path."""
+        from audiodenoiser_tpu.eval.runner import DenoiserRunner
+        from audiodenoiser_tpu.train.loop import init_variables
+
+        model = UNet(features=(8, 128), bottleneck=256, dtype=jnp.float32)
+        variables = init_variables(model, jax.random.key(0), (1, 32, 32, 1))
+        rng = np.random.default_rng(0)
+        mags = jnp.asarray(
+            np.abs(rng.standard_normal((5, 32, 32))), jnp.float32
+        )
+
+        single = DenoiserRunner(model, variables)
+        meshed = DenoiserRunner(model, variables, mesh=make_mesh(8))
+        out_s = np.asarray(single.denoise_spectrogram(mags))
+        out_m = np.asarray(meshed.denoise_spectrogram(mags))
+        assert out_m.shape == (5, 32, 32)
+        np.testing.assert_allclose(out_m, out_s, rtol=1e-5, atol=1e-5)
+        # the meshed model's wide kernels actually live on all 8 devices
+        kernels = jax.tree_util.tree_leaves(meshed.variables["params"])
+        assert any(len(k.sharding.device_set) == 8 for k in kernels)
+
+    def test_meshed_denoise_audio_matches_single_device(self):
+        from audiodenoiser_tpu.eval.runner import DenoiserRunner
+        from audiodenoiser_tpu.train.loop import init_variables
+
+        model = UNet(features=(8, 16), bottleneck=32, dtype=jnp.float32)
+        variables = init_variables(model, jax.random.key(0), (1, 32, 32, 1))
+        rng = np.random.default_rng(1)
+        audio = jnp.asarray(
+            np.clip(rng.standard_normal((3, 4000)) * 0.2, -1, 1), jnp.float32
+        )
+        key = jax.random.key(0)
+        single = DenoiserRunner(model, variables)
+        meshed = DenoiserRunner(model, variables, mesh=make_mesh(8))
+        out_s = np.asarray(single.denoise_audio(audio, key, mode="noisy_phase"))
+        out_m = np.asarray(meshed.denoise_audio(audio, key, mode="noisy_phase"))
+        assert out_m.shape == audio.shape
+        np.testing.assert_allclose(out_m, out_s, rtol=1e-4, atol=1e-5)
+
+
 class TestMultiHost:
     def test_two_process_coordination(self, tmp_path):
         """Real jax.distributed bootstrap: two local processes coordinate via
