@@ -35,7 +35,7 @@ import numpy as np
 
 import audiodenoiser_tpu.dsp.stft as stft_lib
 from audiodenoiser_tpu.dsp.griffin_lim import griffin_lim
-from audiodenoiser_tpu.eval.metrics import si_sdr
+from audiodenoiser_tpu.eval.metrics import si_sdr, stoi
 from audiodenoiser_tpu.losses import combined_perceptual_loss
 from audiodenoiser_tpu.models import UNet
 from audiodenoiser_tpu.train.checkpoints import load_exported
@@ -454,6 +454,24 @@ def test_noise_type_waveform(
     }
     print(f"Total Loss: {metrics['total']:.6f}")
     print(f"SI-SDR: {sdr_noisy:.3f} dB (noisy) -> {sdr_den:.3f} dB (denoised)")
+    try:
+        clean_np = np.asarray(clean)
+        noisy_host = np.asarray(noisy_audio)
+        den_host = np.asarray(den_audio)
+        metrics["stoi_noisy"] = float(np.mean([
+            stoi(clean_np[i], noisy_host[i], sample_rate)
+            for i in range(clean_np.shape[0])
+        ]))
+        metrics["stoi"] = float(np.mean([
+            stoi(clean_np[i], den_host[i], sample_rate)
+            for i in range(clean_np.shape[0])
+        ]))
+        print(
+            f"STOI: {metrics['stoi_noisy']:.4f} (noisy) -> "
+            f"{metrics['stoi']:.4f} (denoised)"
+        )
+    except ValueError as e:  # clips too short/silent for the 384 ms segments
+        print(f"STOI skipped: {e}")
 
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
@@ -464,6 +482,9 @@ def test_noise_type_waveform(
         f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
         f.write(f"SI-SDR noisy: {sdr_noisy:.3f} dB\n")
         f.write(f"SI-SDR denoised: {sdr_den:.3f} dB\n")
+        if "stoi" in metrics:
+            f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
+            f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
     k = min(num_audio_examples, clean.shape[0])
     noisy_np, den_np = np.asarray(noisy_audio), np.asarray(den_audio)
     for i in range(k):

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from audiodenoiser_tpu.eval.metrics import si_sdr
+from audiodenoiser_tpu.eval.metrics import si_sdr, stoi
 from audiodenoiser_tpu.eval.runner import (
     DenoiserRunner,
     load_model_for_noise,
@@ -43,6 +43,64 @@ class TestSiSdr:
         est = ref + 0.1 * rng.standard_normal((3, 2000)).astype(np.float32)
         out = np.asarray(si_sdr(jnp.asarray(est), jnp.asarray(ref)))
         assert out.shape == (3,)
+
+
+class TestStoi:
+    """Properties of the self-contained STOI implementation (Taal 2011).
+
+    No oracle package is available in this environment, so correctness is
+    pinned by the algorithm's defining properties: unity at the fixed
+    point, monotonic degradation with SNR, published-curve agreement for
+    speech-shaped noise (~0.73 at 0 dB), and silent-frame invariance."""
+
+    @staticmethod
+    def _speechlike(rng, seconds=4.0, fs=8000):
+        t = np.arange(int(seconds * fs)) / fs
+        return rng.standard_normal(len(t)) * (0.55 + 0.45 * np.sin(2 * np.pi * 3 * t))
+
+    def test_clean_is_unity(self, rng):
+        x = self._speechlike(rng)
+        assert stoi(x, x, 8000) == pytest.approx(1.0, abs=1e-6)
+
+    def test_monotonic_in_snr_and_matches_published_curve(self, rng):
+        x = self._speechlike(rng)
+        scores = []
+        for snr in [20, 10, 0, -10]:
+            n = rng.standard_normal(len(x))
+            n *= np.linalg.norm(x) / np.linalg.norm(n) / 10 ** (snr / 20)
+            scores.append(stoi(x, x + n, 8000))
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] > 0.95  # +20 dB: near-perfect intelligibility
+        assert 0.6 < scores[2] < 0.85  # 0 dB speech-shaped noise: ~0.73
+        assert scores[3] < 0.45  # -10 dB: badly degraded
+
+    def test_silence_padding_invariance(self, rng):
+        """Padding both signals with silence must not change the score
+        (the silent-frame removal excises it)."""
+        x = self._speechlike(rng)
+        n = rng.standard_normal(len(x))
+        n *= np.linalg.norm(x) / np.linalg.norm(n) / 10 ** 0.5
+        y = x + n
+        pad = np.zeros(8000)
+        a = stoi(x, y, 8000)
+        b = stoi(
+            np.concatenate([pad, x, pad]), np.concatenate([pad, y, pad]), 8000
+        )
+        assert a == pytest.approx(b, abs=5e-3)
+
+    def test_native_rate_no_resample(self, rng):
+        t = np.arange(40000) / 10000
+        x = rng.standard_normal(len(t)) * (0.55 + 0.45 * np.sin(2 * np.pi * 3 * t))
+        assert stoi(x, x, 10000) == pytest.approx(1.0, abs=1e-6)
+
+    def test_shape_mismatch_raises(self, rng):
+        with pytest.raises(ValueError, match="shape mismatch"):
+            stoi(rng.standard_normal(8000), rng.standard_normal(8001), 8000)
+
+    def test_too_short_raises(self, rng):
+        x = rng.standard_normal(1000)
+        with pytest.raises(ValueError, match="not enough active frames"):
+            stoi(x, x, 8000)
 
 
 @pytest.fixture(scope="module")
