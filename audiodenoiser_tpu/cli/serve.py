@@ -47,6 +47,11 @@ def parse_args(argv=None):
         "--model_parallel", type=int, default=1,
         help="channel-TP degree on the device mesh.",
     )
+    p.add_argument(
+        "--no_warmup", action="store_true",
+        help="skip pre-compiling the first-bucket programs at startup "
+        "(first requests then pay the cold XLA compile).",
+    )
     return p.parse_args(argv)
 
 
@@ -83,12 +88,15 @@ def main(argv=None):
     default_mode = args.mode or (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
+    if not args.no_warmup:
+        print("Warming up (pre-compiling first-bucket programs)...")
     service = DenoiseService(
         runner,
         sample_rate=args.sample_rate,
         bucket_samples=int(args.bucket_seconds * args.sample_rate),
         max_seconds=args.max_seconds,
         default_mode=default_mode,
+        warmup=not args.no_warmup,
     )
     server = make_http_server(service, args.host, args.port)
     print(

@@ -65,6 +65,7 @@ class DenoiseService:
         max_seconds: float = 60.0,
         default_mode: str = "noisy_phase",
         max_batch: int = 8,
+        warmup: bool = False,
     ):
         self.runner = runner
         self.sample_rate = sample_rate
@@ -75,11 +76,22 @@ class DenoiseService:
         self._key = jax.random.key(0)
         self.requests_served = 0
         self.batches_run = 0
+        if warmup:
+            self._warmup()
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._worker = threading.Thread(
             target=self._dispatch_loop, daemon=True, name="denoise-dispatch"
         )
         self._worker.start()
+
+    def _warmup(self):
+        """Pre-compile the first-bucket programs (batch 1 and max_batch) so
+        early requests don't eat the 20-40 s cold XLA compile; other
+        (bucket, batch) shapes still compile lazily on first use."""
+        for b in {1, self.max_batch}:
+            z = jax.numpy.zeros((b, self.bucket), jax.numpy.float32)
+            out = self.runner.denoise_audio(z, self._key, mode=self.default_mode)
+            jax.block_until_ready(out)
 
     def _bucket_len(self, n: int) -> int:
         return max(self.bucket, -(-n // self.bucket) * self.bucket)

@@ -121,6 +121,16 @@ class TestMicroBatching:
         fake = FakeRunner()
         return DenoiseService(fake, bucket_samples=4000, **kwargs), fake
 
+    def test_warmup_precompiles_first_bucket(self):
+        """warmup=True drives the runner once at batch 1 and once at
+        max_batch on the first bucket before serving starts."""
+        service, fake = self._service_with_fake_runner(delay=0.0, warmup=True)
+        assert sorted(fake.batch_sizes) == [1, service.max_batch]
+        n_warm = len(fake.batch_sizes)
+        out = service.denoise(np.ones(2000, np.float32))
+        assert out.shape == (2000,)
+        assert len(fake.batch_sizes) == n_warm + 1
+
     def test_concurrent_requests_coalesce(self, rng):
         """Requests arriving while the device is busy run as ONE batched
         call, and every caller gets its own (trimmed) result back."""
