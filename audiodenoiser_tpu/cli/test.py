@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--clean_dir", default="./data/test/clean")
     p.add_argument("--noise_dir", default="./data/test/noise")
     p.add_argument(
+        "--universal", action="store_true",
+        help="evaluate the single universal model ({stem}_mixed.ckpt, "
+        "trained with cli.train --noise_type mixed) on every "
+        "--noise_types entry, instead of one specialized model per type.",
+    )
+    p.add_argument(
         "--mesh", choices=["auto", "on", "off"], default="auto",
         help="auto: shard eval batches over a ('data','model') device mesh "
         "iff >1 device is visible; on: force; off: single device. Same "
@@ -90,12 +96,23 @@ def main(argv=None):
     results = {}
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     mesh = _build_mesh(args)
+    # --universal: one mixed-corruption model evaluated on every noise type
+    loaded = None
+    if args.universal:
+        stem = "mask_denoiser" if args.model == "complex_mask" else "unet_denoiser"
+        try:
+            loaded = load_model_for_noise(
+                "mixed", args.saved_models_dir, dtype=dtype, stem=stem
+            )
+        except FileNotFoundError:
+            print(f"Universal model '{stem}_mixed' not found. Nothing to do.")
+            return results
     if args.model == "complex_mask":
         from audiodenoiser_tpu.eval.runner import test_noise_type_waveform
 
         for noise_type in args.noise_types:
             try:
-                model, variables = load_model_for_noise(
+                model, variables = loaded or load_model_for_noise(
                     noise_type, args.saved_models_dir, dtype=dtype,
                     stem="mask_denoiser",
                 )
@@ -113,7 +130,7 @@ def main(argv=None):
         return results
     for noise_type in args.noise_types:
         try:
-            model, variables = load_model_for_noise(
+            model, variables = loaded or load_model_for_noise(
                 noise_type,
                 args.saved_models_dir,
                 dtype=dtype,

@@ -54,9 +54,12 @@ def parse_args(argv=None):
     ext = p.add_argument_group("TPU-native extensions")
     ext.add_argument(
         "--noise_type", type=str, default=None,
-        choices=["white", "urban", "reverb", "noise_cancellation", "all"],
+        choices=["white", "urban", "reverb", "noise_cancellation", "all",
+                 "mixed"],
         help="Train the specialized model for this noise type ('all' trains "
-        "the full four-model ensemble sequentially).",
+        "the full four-model ensemble sequentially; 'mixed' trains ONE "
+        "universal model on a per-example mixture of all four corruptions — "
+        "requires --pipeline on_device).",
     )
     ext.add_argument(
         "--pipeline", choices=["npy", "on_device"], default="npy",
@@ -200,6 +203,9 @@ def main(argv=None):
     if args.model == "complex_mask" and args.pipeline != "on_device":
         raise SystemExit("--model complex_mask requires --pipeline on_device "
                          "(it trains on waveform pairs)")
+    if args.noise_type == "mixed" and args.pipeline != "on_device":
+        raise SystemExit("--noise_type mixed requires --pipeline on_device "
+                         "(the corruption mixture is synthesized per step)")
 
     if args.pipeline == "npy":
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
@@ -241,7 +247,7 @@ def main(argv=None):
             keep = max(1, int(len(chunks) * args.subset_fraction))
             chunks = chunks[:keep]
         bank = None
-        if args.noise_type == "urban":
+        if args.noise_type in ("urban", "mixed"):
             clips = [
                 read_wav(f, sample_rate=8000)[0] for f in load_wav_list(noise_dir)
             ]

@@ -82,7 +82,9 @@ def pad_or_truncate_device(x: jax.Array, target: tuple[int, int]) -> jax.Array:
 
 
 class OnDeviceMixer:
-    """Fused sample->corrupt->STFT batch generator for one noise type."""
+    """Fused sample->corrupt->STFT batch generator for one noise type, or
+    for a per-example mixture of all four (``noise_type='mixed'``, the
+    universal-model pipeline)."""
 
     def __init__(
         self,
@@ -99,10 +101,12 @@ class OnDeviceMixer:
         float16_roundtrip: bool = True,
         precision: str = "auto",  # STFT path: auto -> pallas on TPU, else fft
     ):
-        if noise_type not in ("white", "urban", "reverb", "noise_cancellation"):
+        if noise_type not in (
+            "white", "urban", "reverb", "noise_cancellation", "mixed"
+        ):
             raise ValueError(f"unknown noise type {noise_type!r}")
-        if noise_type == "urban" and noise_bank is None:
-            raise ValueError("urban mixing requires a NoiseBank")
+        if noise_type in ("urban", "mixed") and noise_bank is None:
+            raise ValueError(f"{noise_type} mixing requires a NoiseBank")
         if precision == "auto":
             # training inherits the fused Pallas STFT on TPU, like the
             # inference benchmark (eval/bench.py) — VERDICT r1 weak #6
@@ -147,9 +151,33 @@ class OnDeviceMixer:
             )
         return snr
 
-    def _corrupt(self, k_noise, clean, batch_size):
+    def _corrupt_each(self, k_noise, clean, batch_size):
+        """All four corruptions of the batch, (4, B, chunk) — the building
+        block of the 'mixed' universal-model pipeline."""
+        ks = jax.random.split(k_noise, 4)
+        outs = []
+        for i, nt in enumerate(
+            ("white", "urban", "reverb", "noise_cancellation")
+        ):
+            outs.append(self._corrupt(ks[i], clean, batch_size, noise_type=nt))
+        return jnp.stack(outs)
+
+    def _corrupt(self, k_noise, clean, batch_size, noise_type=None):
         cfg = self.cfg
-        nt = self.noise_type
+        nt = self.noise_type if noise_type is None else noise_type
+        if nt == "mixed":
+            # universal-model pipeline (beyond the reference's one-model-per-
+            # noise-type ensemble, test.py:181-199): each example in the
+            # batch draws one of the four corruption types uniformly. All
+            # four are synthesized and gathered per example — corruption is
+            # a tiny fraction of the step (the U-Net dominates), and a
+            # static gather keeps the graph free of data-dependent shapes.
+            k_pick, k_all = jax.random.split(k_noise)
+            choice = jax.random.randint(k_pick, (batch_size,), 0, 4)
+            every = self._corrupt_each(k_all, clean, batch_size)  # (4, B, T)
+            return jnp.take_along_axis(
+                every, choice[None, :, None], axis=0
+            )[0]
         if nt == "white":
             if isinstance(cfg["snr_db"], (tuple, list)):
                 k_noise, k_snr = jax.random.split(k_noise)

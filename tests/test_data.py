@@ -222,6 +222,45 @@ class TestOnDeviceMixer:
         ref = pad_or_truncate(ref)[..., None]
         np.testing.assert_allclose(np.asarray(clean_mag), ref, atol=1e-5)
 
+    def test_mixed_requires_bank(self, chunks):
+        with pytest.raises(ValueError):
+            OnDeviceMixer(chunks, "mixed")
+
+    def test_mixed_draws_each_example_from_one_corruption(self, chunks, rng):
+        """noise_type='mixed' (the universal-model pipeline): every example
+        must equal exactly one of the four single-type corruptions generated
+        from the same key stream, and a 16-example batch must actually mix
+        several types."""
+        import jax
+        import jax.numpy as jnp
+
+        bank = NoiseBank([rng.standard_normal(9000).astype(np.float32)])
+        mixer = OnDeviceMixer(chunks, "mixed", noise_bank=bank)
+        key = jax.random.key(5)
+        noisy, clean = mixer.sample_audio(key, 16)
+        noisy, clean = np.asarray(noisy), np.asarray(clean)
+
+        # reproduce the internal key routing: sample_audio splits into
+        # (k_idx, k_noise); _corrupt splits k_noise into (k_pick, k_all)
+        k_idx, k_noise = jax.random.split(key)
+        _, k_all = jax.random.split(k_noise)
+        every = np.asarray(
+            mixer._corrupt_each(k_all, jnp.asarray(clean), 16)
+        )  # (4, 16, 16000)
+        matches = [
+            {t for t in range(4) if np.allclose(noisy[i], every[t, i], atol=1e-6)}
+            for i in range(16)
+        ]
+        assert all(len(m) >= 1 for m in matches), "example matches no type"
+        assert len({min(m) for m in matches}) >= 2, "no type diversity"
+
+    def test_mixed_spectrogram_shapes(self, chunks, rng):
+        bank = NoiseBank([rng.standard_normal(9000).astype(np.float32)])
+        mixer = OnDeviceMixer(chunks, "mixed", noise_bank=bank)
+        noisy, clean = mixer.sample(jax.random.key(0), 4)
+        assert noisy.shape == clean.shape == (4, 256, 64, 1)
+        assert np.all(np.isfinite(np.asarray(noisy)))
+
     def test_fresh_noise_each_key(self, chunks):
         mixer = OnDeviceMixer(chunks, "white")
         a, _ = mixer.sample(jax.random.key(0), 2)

@@ -211,6 +211,60 @@ class TestEvalArtifacts:
         assert out is None
 
 
+class TestUniversalEval:
+    def test_universal_flag_evaluates_one_model_on_all_types(
+        self, tmp_path, rng, monkeypatch
+    ):
+        """cli.test --universal loads {stem}_mixed.ckpt once and runs it on
+        every noise type present in test_processed."""
+        import audiodenoiser_tpu.eval.runner as runner_mod
+        from audiodenoiser_tpu.cli.test import main as test_main
+
+        tiny = UNet(features=(4, 8), bottleneck=16)
+        monkeypatch.setattr(runner_mod, "UNet", lambda dtype: tiny)
+        state = create_train_state(jax.random.key(0), tiny, input_shape=(1, 32, 32, 1))
+        sm = tmp_path / "saved_models"
+        sm.mkdir()
+        export_model(
+            str(sm / "unet_denoiser_mixed.ckpt"),
+            jax.device_get(state.params), jax.device_get(state.batch_stats),
+        )
+        data_dir = tmp_path / "test_processed"
+        data_dir.mkdir()
+        for nt in ("white", "urban"):
+            clean = np.abs(rng.standard_normal((2, 257, 60))).astype(np.float32)
+            np.save(data_dir / f"clean_{nt}.npy", clean)
+            np.save(data_dir / f"noisy_{nt}.npy", clean * 1.3)
+        results = test_main(
+            [
+                "--universal",
+                "--saved_models_dir", str(sm),
+                "--test_data_dir", str(data_dir),
+                "--output_dir", str(tmp_path / "out"),
+                "--noise_types", "white", "urban",
+                "--num_audio_examples", "0",
+                "--precision", "f32",
+                "--mesh", "off",
+            ]
+        )
+        assert set(results) == {"white", "urban"}
+        assert all(np.isfinite(r["total"]) for r in results.values())
+
+    def test_universal_flag_missing_model_is_graceful(self, tmp_path, capsys):
+        from audiodenoiser_tpu.cli.test import main as test_main
+
+        out = test_main(
+            [
+                "--universal",
+                "--saved_models_dir", str(tmp_path),
+                "--output_dir", str(tmp_path / "o"),
+                "--mesh", "off",
+            ]
+        )
+        assert out == {}
+        assert "not found" in capsys.readouterr().out
+
+
 class TestBench:
     def test_bench_runs_on_cpu_small(self, monkeypatch, capsys):
         import sys

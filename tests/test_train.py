@@ -220,6 +220,65 @@ class TestTrainCLI:
                 ]
             )
 
+    def test_cli_mixed_requires_on_device(self, tmp_path):
+        from audiodenoiser_tpu.cli.train import main
+
+        with pytest.raises(SystemExit):
+            main(
+                [
+                    "--base_dataset_path", str(tmp_path),
+                    "--noise_type", "mixed",
+                ]
+            )
+
+    def test_cli_mixed_on_device_trains_universal_model(
+        self, tmp_path, monkeypatch, rng
+    ):
+        """--noise_type mixed trains ONE model over the per-example mixture
+        and exports unet_denoiser_mixed.ckpt."""
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+        from audiodenoiser_tpu.data.wav_io import write_wav
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(
+                features=(4, 8), bottleneck=16, dtype=dtype, remat=remat
+            ),
+        )
+        clean_dir = tmp_path / "clean"
+        noise_dir = tmp_path / "noise"
+        clean_dir.mkdir(), noise_dir.mkdir()
+        for i in range(2):
+            write_wav(
+                str(clean_dir / f"c{i}.wav"),
+                np.clip(rng.standard_normal(32000) * 0.2, -1, 1).astype(np.float32),
+                8000,
+            )
+        write_wav(
+            str(noise_dir / "n0.wav"),
+            np.clip(rng.standard_normal(9000) * 0.2, -1, 1).astype(np.float32),
+            8000,
+        )
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "mixed",
+                "--pipeline", "on_device",
+                "--output_path", str(tmp_path / "runs"),
+                "--run_name", "mixedrun",
+                "--epochs", "1",
+                "--batch_size", "4",
+                "--steps_per_epoch", "2",
+                "--precision", "f32",
+                "--export_dir", str(tmp_path / "saved_models"),
+            ]
+        )
+        assert os.path.exists(
+            tmp_path / "saved_models" / "unet_denoiser_mixed.ckpt"
+        )
+        assert np.isfinite(out["best_val"])
+
 
 class TestFailureDetection:
     def test_fit_aborts_on_nonfinite_loss(self, tmp_path, monkeypatch):
