@@ -6,8 +6,16 @@ from audiodenoiser_tpu.parallel.mesh import (
     shard_train_state,
     shard_variables,
 )
+from audiodenoiser_tpu.parallel.spatial import (
+    RECEPTIVE_RADIUS,
+    denoise_spec_sharded,
+    make_seq_mesh,
+)
 
 __all__ = [
+    "RECEPTIVE_RADIUS",
+    "denoise_spec_sharded",
+    "make_seq_mesh",
     "make_mesh",
     "batch_sharding",
     "param_shardings",
