@@ -51,6 +51,13 @@ def parse_args(argv=None):
         "--noise_types entry, instead of one specialized model per type.",
     )
     p.add_argument(
+        "--auto_route", action="store_true",
+        help="evaluate the self-routing mixture of denoisers: the trained "
+        "noise_router.ckpt classifies each test clip's corruption and "
+        "dispatches it to the matching specialist — no per-noise-type "
+        "model selection needed (reports routing accuracy per type).",
+    )
+    p.add_argument(
         "--mesh", choices=["auto", "on", "off"], default="auto",
         help="auto: shard eval batches over a ('data','model') device mesh "
         "iff >1 device is visible; on: force; off: single device. Same "
@@ -95,6 +102,24 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     results = {}
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.auto_route:
+        import jax
+
+        from audiodenoiser_tpu.eval.ensemble import (
+            evaluate_routed,
+            load_mixture,
+            make_ep_mesh,
+        )
+
+        mixture = load_mixture(args.saved_models_dir, dtype=dtype)
+        ep_mesh = None
+        if jax.device_count() % 4 == 0 and jax.device_count() >= 4:
+            ep_mesh = make_ep_mesh()
+            print(f"Expert-parallel mesh: {dict(ep_mesh.shape)}")
+        return evaluate_routed(
+            mixture, args.test_data_dir, args.output_dir,
+            noise_types=args.noise_types, ep_mesh=ep_mesh,
+        )
     mesh = _build_mesh(args)
     # --universal: one mixed-corruption model evaluated on every noise type
     loaded = None

@@ -67,9 +67,12 @@ def parse_args(argv=None):
         "noise + STFT inside the jitted step from clean wavs.",
     )
     ext.add_argument(
-        "--model", choices=["unet", "complex_mask"], default="unet",
+        "--model", choices=["unet", "complex_mask", "router"], default="unet",
         help="unet: magnitude regression (reference parity); complex_mask: "
-        "complex-ratio-mask variant (requires --pipeline on_device).",
+        "complex-ratio-mask variant (requires --pipeline on_device); "
+        "router: the noise-type classifier that makes the 4-specialist "
+        "ensemble self-routing (requires --pipeline on_device "
+        "--noise_type mixed; see cli.test --auto_route).",
     )
     ext.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     ext.add_argument("--resume", action="store_true")
@@ -203,6 +206,12 @@ def main(argv=None):
     if args.model == "complex_mask" and args.pipeline != "on_device":
         raise SystemExit("--model complex_mask requires --pipeline on_device "
                          "(it trains on waveform pairs)")
+    if args.model == "router" and (
+        args.pipeline != "on_device" or args.noise_type != "mixed"
+    ):
+        raise SystemExit("--model router requires --pipeline on_device "
+                         "--noise_type mixed (labels come from the "
+                         "per-example corruption draw)")
     if args.noise_type == "mixed" and args.pipeline != "on_device":
         raise SystemExit("--noise_type mixed requires --pipeline on_device "
                          "(the corruption mixture is synthesized per step)")
@@ -292,6 +301,32 @@ def main(argv=None):
         steps_per_epoch = n_steps
 
     from audiodenoiser_tpu.utils.profiling import maybe_trace
+
+    if args.model == "router":
+        # lightweight classifier training: no val-loss checkpoint loop, just
+        # fit on the labeled mixed stream and export
+        from audiodenoiser_tpu.train.checkpoints import export_model
+        from audiodenoiser_tpu.train.router import fit_router
+
+        steps = args.epochs * steps_per_epoch
+        with maybe_trace(args.profile_dir):
+            state, acc = fit_router(
+                mixer,
+                steps=steps,
+                batch_size=args.batch_size,
+                learning_rate=args.learning_rate,
+                key=jax.random.key(args.seed),
+            )
+        print(f"Router held-out accuracy: {acc:.3f}")
+        run_dir = os.path.join(args.output_path, args.run_name)
+        best = os.path.join(run_dir, "checkpoints", "noise_router.ckpt")
+        export_model(best, jax.device_get(state.params), {})
+        if args.export_dir:
+            os.makedirs(args.export_dir, exist_ok=True)
+            dst = os.path.join(args.export_dir, "noise_router.ckpt")
+            export_model(dst, jax.device_get(state.params), {})
+            print(f"Exported router to {dst}")
+        return {"best_path": best, "router_accuracy": acc}
 
     if args.lr_schedule == "cosine" and cfg.total_steps == 0:
         cfg.total_steps = args.epochs * steps_per_epoch

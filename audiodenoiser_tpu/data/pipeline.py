@@ -202,27 +202,42 @@ class OnDeviceMixer:
             )
         return noise_lib.noise_cancellation(k_noise, clean)
 
+    def _featurize(self, a: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        mag = jnp.abs(
+            stft_lib.stft(
+                a, cfg["n_fft"], cfg["hop_length"], center=cfg["center"],
+                precision=self.precision,
+            )
+        )
+        if cfg["float16_roundtrip"]:  # data_loader.py:41-42 parity
+            mag = mag.astype(jnp.float16).astype(jnp.float32)
+        return pad_or_truncate_device(mag, cfg["target_size"])[..., None]
+
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample(self, key: jax.Array, batch_size: int):
         """(noisy, clean) NHWC float32 batches of ``target_size`` mags."""
-        cfg = self.cfg
         k_idx, k_noise = jax.random.split(key)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
         clean = self.clean[idx]
         noisy = self._corrupt(k_noise, clean, batch_size)
+        return self._featurize(noisy), self._featurize(clean)
 
-        def featurize(a):
-            mag = jnp.abs(
-                stft_lib.stft(
-                    a, cfg["n_fft"], cfg["hop_length"], center=cfg["center"],
-                    precision=self.precision,
-                )
-            )
-            if cfg["float16_roundtrip"]:  # data_loader.py:41-42 parity
-                mag = mag.astype(jnp.float16).astype(jnp.float32)
-            return pad_or_truncate_device(mag, cfg["target_size"])[..., None]
-
-        return featurize(noisy), featurize(clean)
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
+    def sample_labeled(self, key: jax.Array, batch_size: int):
+        """(noisy, clean, label) mixed-corruption batches where ``label``
+        is the per-example corruption index (0 white, 1 urban, 2 reverb,
+        3 noise_cancellation) — the training stream for the noise-type
+        router (models/router.py). Requires ``noise_type='mixed'``."""
+        if self.noise_type != "mixed":
+            raise ValueError("sample_labeled requires noise_type='mixed'")
+        k_idx, k_pick, k_all = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
+        clean = self.clean[idx]
+        choice = jax.random.randint(k_pick, (batch_size,), 0, 4)
+        every = self._corrupt_each(k_all, clean, batch_size)  # (4, B, T)
+        noisy = jnp.take_along_axis(every, choice[None, :, None], axis=0)[0]
+        return self._featurize(noisy), self._featurize(clean), choice
 
     def __hash__(self):  # jit static self
         return id(self)

@@ -6,8 +6,11 @@ from audiodenoiser_tpu.models.complex_mask import (
     spectrogram_features,
 )
 from audiodenoiser_tpu.models.int8 import Int8UNet, prepare_int8
+from audiodenoiser_tpu.models.router import NOISE_CLASSES, NoiseClassifier
 
 __all__ = [
+    "NOISE_CLASSES",
+    "NoiseClassifier",
     "UNet",
     "DoubleConv",
     "count_params",

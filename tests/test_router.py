@@ -1,0 +1,147 @@
+"""Noise-type router + mixture-of-denoisers tests (virtual 8-CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodenoiser_tpu.data import NoiseBank, OnDeviceMixer
+from audiodenoiser_tpu.eval.ensemble import (
+    MixtureOfDenoisers,
+    make_ep_mesh,
+)
+from audiodenoiser_tpu.models import UNet
+from audiodenoiser_tpu.models.router import NOISE_CLASSES, NoiseClassifier
+from audiodenoiser_tpu.train.router import fit_router
+
+THIN = dict(features=(4, 8, 16, 32), bottleneck=64)
+
+
+@pytest.fixture(scope="module")
+def clean_chunks():
+    # structured clean audio (harmonic tones) so corruptions are separable
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 8000.0
+    chunks = []
+    for _ in range(24):
+        f0 = rng.uniform(100, 900)
+        x = sum(
+            rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f0 * (k + 1) * t)
+            for k in range(3)
+        )
+        chunks.append(np.clip(x, -1, 1).astype(np.float32))
+    return np.stack(chunks)
+
+
+@pytest.fixture(scope="module")
+def mixed_mixer(clean_chunks):
+    rng = np.random.default_rng(1)
+    bank = NoiseBank([rng.standard_normal(9000).astype(np.float32) * 0.5])
+    return OnDeviceMixer(clean_chunks, "mixed", noise_bank=bank)
+
+
+def test_logits_shape_agnostic():
+    model = NoiseClassifier()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 64, 1)))
+    small = model.apply(variables, jnp.ones((2, 256, 64, 1)))
+    big = model.apply(variables, jnp.ones((3, 257, 188, 1)))
+    assert small.shape == (2, 4) and big.shape == (3, 4)
+    assert small.dtype == jnp.float32
+
+
+def test_sample_labeled_stream(mixed_mixer):
+    noisy, clean, labels = mixed_mixer.sample_labeled(jax.random.key(3), 16)
+    assert noisy.shape == clean.shape == (16, 256, 64, 1)
+    labels = np.asarray(labels)
+    assert labels.shape == (16,) and labels.min() >= 0 and labels.max() < 4
+    assert len(set(labels.tolist())) >= 2  # an actual mixture
+
+
+def test_sample_labeled_requires_mixed(clean_chunks):
+    mixer = OnDeviceMixer(clean_chunks, "white")
+    with pytest.raises(ValueError):
+        mixer.sample_labeled(jax.random.key(0), 4)
+
+
+def test_router_learns_corruption_types(mixed_mixer):
+    """A brief fit must beat chance (0.25) clearly on held-out batches."""
+    _, acc = fit_router(
+        mixed_mixer, steps=90, batch_size=32, learning_rate=2e-3,
+        key=jax.random.key(0), log_every=0,
+    )
+    assert acc > 0.5, f"held-out accuracy {acc:.3f} barely above chance"
+
+
+@pytest.fixture(scope="module")
+def mixture():
+    expert_model = UNet(dtype=jnp.float32, **THIN)
+    experts = {}
+    for i, nt in enumerate(NOISE_CLASSES):
+        variables = jax.jit(
+            lambda k: expert_model.init(k, jnp.zeros((1, 64, 64, 1)))
+        )(jax.random.key(i))
+        experts[nt] = (expert_model, variables)
+    router = NoiseClassifier()
+    router_params = router.init(
+        jax.random.key(99), jnp.zeros((1, 64, 64, 1))
+    )["params"]
+    return MixtureOfDenoisers(experts, router_params, router_model=router)
+
+
+def test_bucketed_dispatch_matches_expert_choice(mixture, rng):
+    specs = jnp.asarray(
+        np.abs(rng.standard_normal((7, 64, 64, 1))), jnp.float32
+    )
+    labels = np.asarray(mixture.classify(specs))
+    out = np.asarray(mixture.denoise(specs))
+    for i in range(len(specs)):
+        want = mixture.expert_model.apply(
+            mixture.expert_vars[labels[i]], specs[i : i + 1], train=False
+        )
+        np.testing.assert_allclose(out[i], np.asarray(want)[0], atol=1e-5)
+
+
+def test_load_mixture_and_evaluate_routed(tmp_path, mixture, rng):
+    """Round-trip the saved_models workflow: export 4 specialist ckpts +
+    router, reload via load_mixture, run the auto-routed eval over
+    synthetic test_processed artifacts."""
+    from audiodenoiser_tpu.eval.ensemble import evaluate_routed, load_mixture
+    from audiodenoiser_tpu.train.checkpoints import export_model
+
+    smd = tmp_path / "saved_models"
+    for nt in NOISE_CLASSES:
+        v = jax.device_get(mixture.expert_vars[NOISE_CLASSES.index(nt)])
+        export_model(
+            str(smd / f"unet_denoiser_{nt}.ckpt"), v["params"], v["batch_stats"]
+        )
+    export_model(
+        str(smd / "noise_router.ckpt"),
+        jax.device_get(mixture.router_params), {},
+    )
+    thin = UNet(dtype=jnp.float32, **THIN)
+    mix = load_mixture(str(smd), dtype=jnp.float32, expert_model=thin)
+
+    td, od = tmp_path / "test_processed", tmp_path / "out"
+    td.mkdir()
+    for nt in ("white", "urban"):
+        np.save(td / f"clean_{nt}.npy",
+                np.abs(rng.standard_normal((2, 257, 48))).astype(np.float32))
+        np.save(td / f"noisy_{nt}.npy",
+                np.abs(rng.standard_normal((2, 257, 48))).astype(np.float32))
+    res = evaluate_routed(mix, str(td), str(od), noise_types=("white", "urban"))
+    assert set(res) == {"white", "urban"}
+    for nt in ("white", "urban"):
+        assert (od / f"{nt}_routed_metrics.txt").exists()
+        assert 0.0 <= res[nt]["routing_accuracy"] <= 1.0
+        assert np.isfinite(res[nt]["total"])
+
+
+def test_expert_parallel_matches_bucketed(mixture, rng):
+    specs = jnp.asarray(
+        np.abs(rng.standard_normal((6, 64, 64, 1))), jnp.float32
+    )
+    mesh = make_ep_mesh(8)  # data 2 x expert 4
+    assert dict(mesh.shape) == {"data": 2, "expert": 4}
+    got = np.asarray(mixture.denoise_ep(specs, mesh))
+    want = np.asarray(mixture.denoise(specs))
+    np.testing.assert_allclose(got, want, atol=1e-5)
