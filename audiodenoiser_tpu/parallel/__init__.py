@@ -11,8 +11,11 @@ from audiodenoiser_tpu.parallel.spatial import (
     denoise_spec_sharded,
     make_seq_mesh,
 )
+from audiodenoiser_tpu.parallel.pipeline import PipelinedDenoiser, make_stages
 
 __all__ = [
+    "PipelinedDenoiser",
+    "make_stages",
     "RECEPTIVE_RADIUS",
     "denoise_spec_sharded",
     "make_seq_mesh",
