@@ -52,6 +52,13 @@ def parse_args(argv=None):
         help="skip pre-compiling the first-bucket programs at startup "
         "(first requests then pay the cold XLA compile).",
     )
+    p.add_argument(
+        "--auto_route", action="store_true",
+        help="load all 4 specialists plus the trained noise router and "
+        "serve mode=auto: each request batch is classified on-device and "
+        "dispatched to the predicted specialist (requires "
+        "noise_router.ckpt; see cli.train --model router).",
+    )
     return p.parse_args(argv)
 
 
@@ -88,6 +95,22 @@ def main(argv=None):
     default_mode = args.mode or (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
+    router = expert_runners = None
+    if args.auto_route:
+        from audiodenoiser_tpu.eval.ensemble import load_mixture
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+        mixture = load_mixture(args.saved_models_dir, dtype=dtype)
+        router = (mixture.router_model, mixture.router_params)
+        expert_runners = {
+            i: DenoiserRunner(
+                mixture.expert_model, mixture.expert_vars[i],
+                precision=path, mesh=mesh,
+            )
+            for i in range(len(NOISE_CLASSES))
+        }
+        default_mode = args.mode or "auto"
+        print(f"Auto-routing over specialists: {', '.join(NOISE_CLASSES)}")
     if not args.no_warmup:
         print("Warming up (pre-compiling first-bucket programs)...")
     service = DenoiseService(
@@ -97,6 +120,8 @@ def main(argv=None):
         max_seconds=args.max_seconds,
         default_mode=default_mode,
         warmup=not args.no_warmup,
+        router=router,
+        expert_runners=expert_runners,
     )
     server = make_http_server(service, args.host, args.port)
     print(

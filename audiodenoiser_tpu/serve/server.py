@@ -17,7 +17,10 @@ inference path into a deployable service:
 - ``make_http_server`` exposes it over stdlib HTTP (zero extra deps):
   ``GET /healthz`` for liveness/device info, ``POST /denoise`` with WAV
   bytes in, denoised WAV bytes out (``X-Latency-Ms`` response header),
-  query params ``mode=noisy_phase|griffin_lim|reference_gl|complex_mask``.
+  query params ``mode=noisy_phase|griffin_lim|reference_gl|complex_mask``
+  — plus ``mode=auto`` when built with a noise router + specialist
+  runners (``cli.serve --auto_route``): the coalesced batch is classified
+  on-device and each group runs through its predicted specialist.
 """
 
 from __future__ import annotations
@@ -66,6 +69,8 @@ class DenoiseService:
         default_mode: str = "noisy_phase",
         max_batch: int = 8,
         warmup: bool = False,
+        router=None,  # (NoiseClassifier, params) enabling mode='auto'
+        expert_runners=None,  # {label_index: DenoiserRunner} for mode='auto'
     ):
         self.runner = runner
         self.sample_rate = sample_rate
@@ -76,6 +81,27 @@ class DenoiseService:
         self._key = jax.random.key(0)
         self.requests_served = 0
         self.batches_run = 0
+        self._classify = None
+        self.expert_runners = expert_runners
+        if router is not None and expert_runners is not None:
+            router_model, router_params = router
+            import jax.numpy as jnp
+
+            import audiodenoiser_tpu.dsp.stft as stft_lib
+
+            n_fft, hop = runner.n_fft, runner.hop
+
+            @jax.jit
+            def classify(audio):
+                mag = jnp.abs(
+                    stft_lib.stft(audio, n_fft, hop, center=True)
+                )
+                logits = router_model.apply(
+                    {"params": router_params}, mag[..., None]
+                )
+                return jnp.argmax(logits, -1)
+
+            self._classify = classify
         if warmup:
             self._warmup()
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
@@ -90,8 +116,16 @@ class DenoiseService:
         (bucket, batch) shapes still compile lazily on first use."""
         for b in {1, self.max_batch}:
             z = jax.numpy.zeros((b, self.bucket), jax.numpy.float32)
-            out = self.runner.denoise_audio(z, self._key, mode=self.default_mode)
-            jax.block_until_ready(out)
+            if self.default_mode == "auto":
+                jax.block_until_ready(self._classify(z))
+                for runner in self.expert_runners.values():
+                    out = runner.denoise_audio(z, self._key, mode="noisy_phase")
+                    jax.block_until_ready(out)
+            else:
+                out = self.runner.denoise_audio(
+                    z, self._key, mode=self.default_mode
+                )
+                jax.block_until_ready(out)
 
     def _bucket_len(self, n: int) -> int:
         return max(self.bucket, -(-n // self.bucket) * self.bucket)
@@ -119,13 +153,17 @@ class DenoiseService:
                 stacked = np.zeros((b_pad, first.bucket), np.float32)
                 for i, r in enumerate(batch):
                     stacked[i, : r.n] = r.audio[: r.n]
-                out = np.asarray(
-                    self.runner.denoise_audio(
-                        jax.numpy.asarray(stacked), self._key, mode=first.mode
+                if first.mode == "auto":
+                    self._dispatch_auto(batch, stacked)
+                else:
+                    out = np.asarray(
+                        self.runner.denoise_audio(
+                            jax.numpy.asarray(stacked), self._key,
+                            mode=first.mode,
+                        )
                     )
-                )
-                for i, r in enumerate(batch):
-                    r.result = out[i, : r.n]
+                    for i, r in enumerate(batch):
+                        r.result = out[i, : r.n]
                 self.batches_run += 1
                 self.requests_served += len(batch)
             except Exception as e:  # propagate to every waiter
@@ -135,9 +173,36 @@ class DenoiseService:
                 for r in batch:
                     r.done.set()
 
+    def _dispatch_auto(self, batch, stacked):
+        """Router-dispatched batch: classify the coalesced clips in one
+        device call, then forward each predicted-expert group through its
+        specialist runner (noisy-phase reconstruction)."""
+        labels = np.asarray(
+            self._classify(jax.numpy.asarray(stacked[: len(batch)]))
+        )
+        for lab in sorted(set(labels.tolist())):
+            idx = [i for i in range(len(batch)) if labels[i] == lab]
+            b_pad = _pow2_batch(len(idx), self.max_batch)
+            sub = np.zeros((b_pad, stacked.shape[1]), np.float32)
+            sub[: len(idx)] = stacked[idx]
+            runner = self.expert_runners[int(lab)]
+            out = np.asarray(
+                runner.denoise_audio(
+                    jax.numpy.asarray(sub), self._key, mode="noisy_phase"
+                )
+            )
+            for j, i in enumerate(idx):
+                r = batch[i]
+                r.result = out[j, : r.n]
+
     def denoise(self, audio: np.ndarray, mode: str | None = None) -> np.ndarray:
         """Denoise one mono clip (float32 [-1,1]); thread-safe, batched."""
         mode = mode or self.default_mode
+        if mode == "auto" and self._classify is None:
+            raise ValueError(
+                "mode='auto' requires the service to be built with a router "
+                "and expert runners (cli.serve --auto_route)"
+            )
         n = len(audio)
         if n == 0:
             raise ValueError("empty audio")

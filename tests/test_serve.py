@@ -104,6 +104,68 @@ class TestServe:
             urllib.request.urlopen(req)
         assert e.value.code == 400
 
+    def test_auto_mode_without_router_400(self, server_url, rng):
+        audio = np.zeros(4000, np.float32)
+        req = urllib.request.Request(
+            f"{server_url}/denoise?mode=auto", data=_wav_bytes(audio),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+
+class TestAutoRoutedServing:
+    @pytest.fixture(scope="class")
+    def routed_service(self):
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES, NoiseClassifier
+
+        model = UNet(features=(4, 8), bottleneck=16)
+        expert_runners = {}
+        for i in range(len(NOISE_CLASSES)):
+            state = create_train_state(
+                jax.random.key(i), model, input_shape=(1, 32, 32, 1)
+            )
+            expert_runners[i] = DenoiserRunner(
+                model, {"params": state.params, "batch_stats": state.batch_stats}
+            )
+        router = NoiseClassifier()
+        router_params = router.init(
+            jax.random.key(42), jax.numpy.zeros((1, 64, 64, 1))
+        )["params"]
+        return DenoiseService(
+            expert_runners[0],
+            bucket_samples=8000,
+            max_seconds=10.0,
+            default_mode="auto",
+            router=(router, router_params),
+            expert_runners=expert_runners,
+        )
+
+    def test_routed_denoise(self, routed_service, rng):
+        audio = np.clip(rng.standard_normal(6000) * 0.2, -1, 1).astype(np.float32)
+        out = routed_service.denoise(audio, mode="auto")
+        assert out.shape == (6000,)
+        assert np.isfinite(out).all()
+
+    def test_routed_matches_predicted_expert(self, routed_service, rng):
+        """The auto output must equal the predicted specialist's
+        noisy-phase output on the same padded clip."""
+        audio = np.clip(rng.standard_normal(8000) * 0.2, -1, 1).astype(np.float32)
+        out = routed_service.denoise(audio, mode="auto")
+        import jax.numpy as jnp
+
+        label = int(
+            np.asarray(routed_service._classify(jnp.asarray(audio[None])))[0]
+        )
+        want = np.asarray(
+            routed_service.expert_runners[label].denoise_audio(
+                jnp.asarray(audio[None]), routed_service._key,
+                mode="noisy_phase",
+            )
+        )[0]
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
 
 class TestMicroBatching:
     def _service_with_fake_runner(self, delay=0.05, **kwargs):
