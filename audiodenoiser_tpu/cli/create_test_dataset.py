@@ -29,6 +29,13 @@ def parse_args(argv=None):
         nargs="+",
         default=["white", "urban", "reverb", "noise_cancellation"],
     )
+    p.add_argument(
+        "--no_audio_artifacts", action="store_true",
+        help="skip the clean_audio.npy / noisy_audio_{nt}.npy waveform "
+        "stacks (beyond-reference artifacts that enable a true SI-SDR "
+        "quality gate at eval time; the reference's magnitude-only npys "
+        "are always written).",
+    )
     return p.parse_args(argv)
 
 
@@ -49,6 +56,7 @@ def main(argv=None):
         noise_types=tuple(args.noise_types),
         reverb_wet_level=args.reverb_wet_level,
         seed=args.seed,
+        save_audio=not args.no_audio_artifacts,
     )
     print("Test dataset creation is complete!")
 

@@ -181,6 +181,7 @@ def build_test_dataset(
     noise_types: Sequence[str] = NOISE_TYPES,
     reverb_wet_level: float = 0.35,  # create_test_dataset.py:68
     seed: int = 0,
+    save_audio: bool = True,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Whole-clip corruption; writes clean_{nt}.npy / noisy_{nt}.npy stacks.
 
@@ -188,6 +189,13 @@ def build_test_dataset(
     assumed equal length (IRMAS 3 s); unequal lengths are truncated to the
     shortest so the stacked (N, F, T) array stays rectangular instead of the
     reference's silent ragged-object-array failure (SURVEY.md §3.5).
+
+    ``save_audio`` additionally writes ``clean_audio.npy`` and
+    ``noisy_audio_{nt}.npy`` waveform stacks — the reference's
+    magnitude-only artifacts discard phase, which makes a true SI-SDR
+    quality gate impossible at eval time; with the waveforms present the
+    eval driver scores noisy-phase reconstructions against the real clean
+    signal (eval/runner.test_single_noise_type).
     """
     os.makedirs(output_dir, exist_ok=True)
     clean_files = load_wav_list(clean_dir)
@@ -208,6 +216,8 @@ def build_test_dataset(
 
     key = jax.random.key(seed)
     out = {}
+    if save_audio:
+        np.save(os.path.join(output_dir, "clean_audio.npy"), np.asarray(clean))
     for nt in noise_types:
         key, k_seg, k_mix = jax.random.split(key, 3)
         segs = (
@@ -215,12 +225,17 @@ def build_test_dataset(
             if (bank is not None and nt == "urban")
             else jnp.zeros_like(clean)
         )
-        _, clean_mag, noisy_mag = _corrupt_and_featurize(
+        noisy, clean_mag, noisy_mag = _corrupt_and_featurize(
             k_mix, clean, segs, nt, n_fft, hop_length, True, sample_rate,
             snr_db, reverb_wet_level,
         )
         clean_mag, noisy_mag = np.asarray(clean_mag), np.asarray(noisy_mag)
         np.save(os.path.join(output_dir, f"clean_{nt}.npy"), clean_mag)
         np.save(os.path.join(output_dir, f"noisy_{nt}.npy"), noisy_mag)
+        if save_audio:
+            np.save(
+                os.path.join(output_dir, f"noisy_audio_{nt}.npy"),
+                np.asarray(noisy),
+            )
         out[nt] = (clean_mag, noisy_mag)
     return out

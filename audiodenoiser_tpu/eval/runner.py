@@ -351,6 +351,45 @@ def test_single_noise_type(
         )
         print(f"SI-SDR (mag-only recon): {metrics['si_sdr']:.3f} dB")
 
+    # TRUE SI-SDR when the builder saved waveform artifacts (save_audio,
+    # the default): denoised magnitude + the actual noisy phase -> one
+    # iSTFT, scored against the real clean waveform. The reference's
+    # magnitude-only npy artifacts cannot support this (no phase anywhere).
+    na_path = os.path.join(test_data_dir, f"noisy_audio_{noise_type}.npy")
+    ca_path = os.path.join(test_data_dir, "clean_audio.npy")
+    if compute_si_sdr and os.path.exists(na_path) and os.path.exists(ca_path):
+        noisy_audio = np.load(na_path)
+        clean_audio_true = np.load(ca_path)
+
+        @jax.jit
+        def _noisy_phase_recon(mag, naud):
+            spec = stft_lib.stft(naud, n_fft, hop_length, center=True)
+            _, phase = stft_lib.magphase(spec)
+            t = min(mag.shape[-1], phase.shape[-1])
+            rec = (
+                jnp.maximum(mag[..., :t], 0.0).astype(jnp.complex64)
+                * phase[..., :t]
+            )
+            return stft_lib.istft(
+                rec, hop_length, n_fft=n_fft, center=True,
+                length=naud.shape[-1],
+            )
+
+        recon = np.asarray(
+            _noisy_phase_recon(jnp.asarray(denoised), jnp.asarray(noisy_audio))
+        )
+        metrics["si_sdr_noisy_phase"] = float(np.mean(np.asarray(
+            si_sdr(jnp.asarray(recon), jnp.asarray(clean_audio_true))
+        )))
+        metrics["si_sdr_noisy_input"] = float(np.mean(np.asarray(
+            si_sdr(jnp.asarray(noisy_audio), jnp.asarray(clean_audio_true))
+        )))
+        print(
+            f"SI-SDR (noisy-phase recon vs clean waveform): "
+            f"{metrics['si_sdr_noisy_input']:.3f} -> "
+            f"{metrics['si_sdr_noisy_phase']:.3f} dB"
+        )
+
     with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
         f.write(f"Perceptual metrics for noise type '{noise_type}':\n")
         f.write(f"Total Loss: {metrics['total']:.6f}\n")
@@ -359,10 +398,18 @@ def test_single_noise_type(
         f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
         if "si_sdr" in metrics:
             # labeled explicitly: this is a spectral-reconstruction proxy
-            # (zero-phase iSTFT of magnitudes — the npy test set stores no
-            # phase/waveform); the waveform-domain eval below is the true
-            # SI-SDR surface
+            # (zero-phase iSTFT of magnitudes — the reference npy set
+            # stores no phase/waveform)
             f.write(f"SI-SDR (mag-only recon): {metrics['si_sdr']:.3f} dB\n")
+        if "si_sdr_noisy_phase" in metrics:
+            f.write(
+                f"SI-SDR (noisy input): "
+                f"{metrics['si_sdr_noisy_input']:.3f} dB\n"
+            )
+            f.write(
+                f"SI-SDR (noisy-phase recon): "
+                f"{metrics['si_sdr_noisy_phase']:.3f} dB\n"
+            )
 
     # denoised reconstructions (test.py:141-148)
     if k > 0:

@@ -77,6 +77,35 @@ class TestTestBuilder:
             assert clean.dtype == noisy.dtype == np.float32
             np.testing.assert_allclose(clean, res[nt][0])
 
+    def test_audio_artifacts_saved_and_consistent(self, wav_dirs, tmp_path):
+        """save_audio (default) writes the waveform stacks, and the saved
+        noisy magnitudes are exactly the STFT magnitudes of the saved
+        noisy waveforms (the property the eval's true-SI-SDR path needs)."""
+        import jax.numpy as jnp
+
+        import audiodenoiser_tpu.dsp.stft as S
+
+        clean_dir, noise_dir = wav_dirs
+        out = str(tmp_path / "tp_audio")
+        build_test_dataset(clean_dir, noise_dir, out, noise_types=("white",))
+        clean_audio = np.load(os.path.join(out, "clean_audio.npy"))
+        noisy_audio = np.load(os.path.join(out, "noisy_audio_white.npy"))
+        noisy_mag = np.load(os.path.join(out, "noisy_white.npy"))
+        assert clean_audio.shape == noisy_audio.shape == (2, 20000)
+        ref = np.abs(
+            np.asarray(S.stft(jnp.asarray(noisy_audio), 512, 128, center=True))
+        )
+        np.testing.assert_allclose(noisy_mag, ref, atol=1e-5)
+
+    def test_no_audio_artifacts_flag(self, wav_dirs, tmp_path):
+        clean_dir, noise_dir = wav_dirs
+        out = str(tmp_path / "tp_noaudio")
+        build_test_dataset(
+            clean_dir, noise_dir, out, noise_types=("white",), save_audio=False
+        )
+        assert not os.path.exists(os.path.join(out, "clean_audio.npy"))
+        assert not os.path.exists(os.path.join(out, "noisy_audio_white.npy"))
+
     def test_clean_magnitudes_match_direct_stft(self, wav_dirs, tmp_path):
         import jax.numpy as jnp
 

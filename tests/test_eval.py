@@ -202,6 +202,46 @@ class TestEvalArtifacts:
         txt = (out_dir / "white_metrics.txt").read_text()
         assert "Total Loss:" in txt and "Mel Loss:" in txt
 
+    def test_true_si_sdr_with_audio_artifacts(self, tmp_path, rng):
+        """With the builder's waveform artifacts present, the eval reports
+        a true SI-SDR (noisy-phase recon vs the real clean waveform) and
+        the noisy-input baseline."""
+        import audiodenoiser_tpu.dsp.stft as S
+
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        data_dir, out_dir = tmp_path / "data", tmp_path / "out"
+        data_dir.mkdir()
+        clean_audio = np.clip(
+            rng.standard_normal((3, 8000)) * 0.2, -1, 1
+        ).astype(np.float32)
+        noisy_audio = np.clip(
+            clean_audio + rng.standard_normal((3, 8000)).astype(np.float32) * 0.05,
+            -1, 1,
+        )
+        to_mag = lambda a: np.abs(
+            np.asarray(S.stft(jnp.asarray(a), 512, 128, center=True))
+        ).astype(np.float32)
+        np.save(data_dir / "clean_white.npy", to_mag(clean_audio))
+        np.save(data_dir / "noisy_white.npy", to_mag(noisy_audio))
+        np.save(data_dir / "clean_audio.npy", clean_audio)
+        np.save(data_dir / "noisy_audio_white.npy", noisy_audio)
+
+        metrics = run_noise_eval(
+            model, variables, "white",
+            test_data_dir=str(data_dir), output_dir=str(out_dir),
+            num_audio_examples=0, seed=0,
+        )
+        assert np.isfinite(metrics["si_sdr_noisy_phase"])
+        assert np.isfinite(metrics["si_sdr_noisy_input"])
+        # the noisy input here is clean + small noise: baseline must be
+        # clearly positive (sanity of the metric plumbing)
+        assert metrics["si_sdr_noisy_input"] > 5.0
+        txt = (out_dir / "white_metrics.txt").read_text()
+        assert "SI-SDR (noisy-phase recon):" in txt
+        assert "SI-SDR (noisy input):" in txt
+
     def test_missing_data_returns_none(self, tmp_path):
         model = UNet(features=(4, 8), bottleneck=16)
         out = run_noise_eval(
