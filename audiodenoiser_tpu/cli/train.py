@@ -97,6 +97,13 @@ def parse_args(argv=None):
         "visible; on/off force it.",
     )
     ext.add_argument(
+        "--fsdp", action="store_true",
+        help="FSDP/ZeRO layout: additionally shard wide conv kernels and "
+        "their AdamW moments over the data axis (per-chip param+optimizer "
+        "memory drops ~data-parallel-degree-fold; XLA inserts the "
+        "all-gathers and reduce-scatters).",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -198,6 +205,7 @@ def main(argv=None):
         warmup_steps=args.warmup_steps,
         grad_accum=args.grad_accum,
         remat=args.remat,
+        fsdp=args.fsdp,
         model_parallel=args.model_parallel,
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
         extra_config=vars(args),

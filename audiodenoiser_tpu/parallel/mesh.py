@@ -61,46 +61,63 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     )
 
 
-def _param_spec(path: tuple, leaf, model_size: int) -> P:
+def _param_spec(path: tuple, leaf, model_size: int, fsdp_size: int = 1) -> P:
     """Sharding rule for one parameter leaf.
 
     Conv/ConvTranspose kernels are (kh, kw, cin, cout): shard cout over
     'model' when it divides evenly and is wide enough to be worth a
-    collective. Per-channel vectors (biases, BN scale/bias) follow their
-    layer's cout sharding so the channel slices line up without resharding.
+    collective (tensor parallelism). With ``fsdp_size > 1`` (FSDP/ZeRO-3
+    layout) the input-channel dim additionally shards over 'data', so
+    parameters AND optimizer moments scale down with the data-parallel
+    degree — XLA SPMD inserts the all-gather before each use and
+    reduce-scatters the gradients. Per-channel vectors (biases, BN
+    scale/bias) follow their layer's cout sharding so the channel slices
+    line up without resharding.
     """
     shape = np.shape(leaf)
-    if model_size <= 1:
-        return P()
-    if len(shape) == 4 and shape[-1] % model_size == 0 and shape[-1] >= 128:
-        return P(None, None, None, MODEL_AXIS)
-    if len(shape) == 1 and shape[0] % model_size == 0 and shape[0] >= 128:
+    if len(shape) == 4:
+        spec = [None, None, None, None]
+        if model_size > 1 and shape[3] % model_size == 0 and shape[3] >= 128:
+            spec[3] = MODEL_AXIS
+        if fsdp_size > 1 and shape[2] % fsdp_size == 0 and shape[2] >= 128:
+            spec[2] = DATA_AXIS
+        return P(*spec)
+    if (
+        len(shape) == 1
+        and model_size > 1
+        and shape[0] % model_size == 0
+        and shape[0] >= 128
+    ):
         return P(MODEL_AXIS)
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """Pytree of NamedShardings implementing the dp+tp layout."""
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+    """Pytree of NamedShardings implementing the dp+tp (+fsdp) layout."""
     model_size = mesh.shape[MODEL_AXIS]
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = [
-        NamedSharding(mesh, _param_spec(path, leaf, model_size))
+        NamedSharding(mesh, _param_spec(path, leaf, model_size, fsdp_size))
         for path, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def shard_train_state(state: Any, mesh: Mesh) -> Any:
+def shard_train_state(state: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     """Place a TrainState on the mesh: params/opt/bn sharded per rules.
 
     Optimizer moments mirror their parameter's sharding (same shapes);
-    scalar counters replicate.
+    scalar counters replicate. ``fsdp=True`` additionally shards wide
+    kernels (and their AdamW moments) over the data axis — per-chip
+    optimizer-state memory drops by ~the data-parallel degree.
     """
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
 
     def place(x):
         if not hasattr(x, "shape"):
             return x
-        spec = _param_spec((), x, mesh.shape[MODEL_AXIS])
+        spec = _param_spec((), x, mesh.shape[MODEL_AXIS], fsdp_size)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, state)

@@ -181,6 +181,7 @@ class FitConfig:
     remat: bool = False
     model_parallel: int = 1
     use_mesh: bool | None = None  # None: auto (mesh iff >1 device visible)
+    fsdp: bool = False  # shard params + optimizer state over the data axis
     extra_config: dict = field(default_factory=dict)
 
 
@@ -268,7 +269,7 @@ def fit(
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
     if mesh is not None:
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, fsdp=config.fsdp)
 
     start_epoch = 0
     best_val = float("inf")
@@ -282,7 +283,7 @@ def fit(
         restored = ckpt_lib.restore_train_state(resume_dir, template)
         state = restored["state"]
         if mesh is not None:
-            state = shard_train_state(state, mesh)
+            state = shard_train_state(state, mesh, fsdp=config.fsdp)
         start_epoch = int(restored["epoch"]) + 1
         best_val = float(restored["best_val"])
         logger.info(f"Resumed from epoch {start_epoch} (best val {best_val:.6f})")

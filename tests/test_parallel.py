@@ -93,6 +93,57 @@ class TestDistributedTrainStep:
         assert any(len(k.sharding.device_set) == 8 for k in kernels)
 
 
+class TestFSDP:
+    def test_fsdp_shards_wide_kernels_over_data(self):
+        mesh = make_mesh(8)  # data 4 x model 2
+        model = UNet(features=(32, 128), bottleneck=256)
+        state = create_train_state(
+            jax.random.key(0), model, input_shape=(1, 32, 32, 1)
+        )
+        specs = param_shardings(state.params, mesh, fsdp=True)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        by_name = {jax.tree_util.keystr(k): v for k, v in flat}
+        # bottleneck conv1 kernel (3,3,256,256): cin over 'data' AND cout
+        # over 'model' — a genuinely 2-D sharded parameter
+        bneck = [
+            v for k, v in by_name.items()
+            if "bottleneck" in k and "conv1" in k and "kernel" in k
+        ]
+        assert any(v.spec == P(None, None, "data", "model") for v in bneck)
+
+    def test_fsdp_train_step_matches_single_device(self):
+        """FSDP layout is pure memory placement: one step must reproduce
+        the unsharded loss, and the optimizer moments must actually live
+        sharded over the data axis (the ZeRO property)."""
+        model = UNet(features=(8, 128), bottleneck=256)
+        rng = np.random.default_rng(1)
+        noisy = jnp.asarray(np.abs(rng.standard_normal((8, 32, 32, 1))), jnp.float32)
+        clean = jnp.asarray(np.abs(rng.standard_normal((8, 32, 32, 1))), jnp.float32)
+
+        state1 = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        _, losses_single = train_step(state1, noisy, clean)
+
+        mesh = make_mesh(8)
+        state2 = create_train_state(jax.random.key(0), model, input_shape=(1, 32, 32, 1))
+        state2 = shard_train_state(state2, mesh, fsdp=True)
+        new_state, losses_dist = train_step(
+            state2, shard_batch(noisy, mesh), shard_batch(clean, mesh)
+        )
+        jax.block_until_ready(new_state.params)
+        np.testing.assert_allclose(
+            float(losses_dist.total), float(losses_single.total), rtol=1e-5
+        )
+        # an AdamW moment leaf is sharded over 'data' (ZeRO optimizer
+        # partitioning), and stays so after the step
+        moment_leaves = jax.tree_util.tree_leaves(new_state.opt_state)
+        def data_sharded(x):
+            try:
+                return "data" in (x.sharding.spec or ())
+            except Exception:
+                return False
+        assert any(data_sharded(m) for m in moment_leaves if hasattr(m, "sharding"))
+
+
 class TestMeshTrainingCLI:
     def test_cli_mesh_run_matches_single_device(self, tmp_path, monkeypatch):
         """`cli.train --mesh on --model_parallel 2` on the virtual 8-CPU mesh
