@@ -97,6 +97,12 @@ def parse_args(argv=None):
         "visible; on/off force it.",
     )
     ext.add_argument(
+        "--ema_decay", type=float, default=None,
+        help="track an exponential moving average of the weights (e.g. "
+        "0.999), validate it each epoch, and export best_model_ema.ckpt "
+        "alongside the raw best checkpoint.",
+    )
+    ext.add_argument(
         "--fsdp", action="store_true",
         help="FSDP/ZeRO layout: additionally shard wide conv kernels and "
         "their AdamW moments over the data axis (per-chip param+optimizer "
@@ -206,6 +212,7 @@ def main(argv=None):
         grad_accum=args.grad_accum,
         remat=args.remat,
         fsdp=args.fsdp,
+        ema_decay=args.ema_decay,
         model_parallel=args.model_parallel,
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
         extra_config=vars(args),

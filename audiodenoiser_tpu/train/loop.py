@@ -182,7 +182,20 @@ class FitConfig:
     model_parallel: int = 1
     use_mesh: bool | None = None  # None: auto (mesh iff >1 device visible)
     fsdp: bool = False  # shard params + optimizer state over the data axis
+    ema_decay: float | None = None  # e.g. 0.999: track an exponential
+    # moving average of the params, validate it each epoch, and export the
+    # best-EMA checkpoint alongside the raw best
     extra_config: dict = field(default_factory=dict)
+
+
+@partial(jax.jit, donate_argnums=0)
+def _ema_update(ema, params, decay):
+    """ema <- decay*ema + (1-decay)*params (production smoothing; the
+    reference has no equivalent). ``decay`` is traced so one compile
+    serves any setting."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params
+    )
 
 
 def _epoch_mean(losses: list[CombinedLossOutput]) -> float:
@@ -290,6 +303,12 @@ def fit(
 
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
+    best_ema_path = os.path.join(ckpt_dir, "best_model_ema.ckpt")
+    ema_params = None
+    best_ema_val = float("inf")
+    if config.ema_decay:
+        ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
+        ema_decay = jnp.float32(config.ema_decay)
 
     logger.info("--- Starting Training Loop ---")
     history = []
@@ -299,6 +318,8 @@ def fit(
         for noisy, clean in train_batches(epoch):
             state, losses = step_fn(state, place(noisy), place(clean))
             train_losses.append(losses)
+            if ema_params is not None:
+                ema_params = _ema_update(ema_params, state.params, ema_decay)
         train_loss = _epoch_mean(train_losses)
         writer.add_scalar("Loss/train", train_loss, epoch)
 
@@ -313,10 +334,22 @@ def fit(
             val_loss = train_loss
         writer.add_scalar("Loss/validation", val_loss, epoch)
 
+        ema_val = None
+        if ema_params is not None:
+            ema_state = state.replace(params=ema_params)
+            ema_losses = [
+                eval_fn(ema_state, place(noisy), place(clean))
+                for noisy, clean in val_batches()
+            ]
+            ema_val = _epoch_mean(ema_losses) if ema_losses else val_loss
+            writer.add_scalar("Loss/validation_ema", ema_val, epoch)
+
         dt = time.perf_counter() - t0
         logger.info(
             f"Epoch {epoch + 1}/{config.epochs} -> Train Loss: {train_loss:.6f} | "
-            f"Validation Loss: {val_loss:.6f} | {dt:.1f}s"
+            f"Validation Loss: {val_loss:.6f}"
+            + (f" | EMA Val Loss: {ema_val:.6f}" if ema_val is not None else "")
+            + f" | {dt:.1f}s"
         )
         if not np.isfinite(train_loss):
             # failure detection (SURVEY.md §5): stop before writing a
@@ -335,6 +368,17 @@ def fit(
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
+        if ema_val is not None and ema_val < best_ema_val:
+            best_ema_val = ema_val
+            ckpt_lib.export_model(
+                best_ema_path,
+                jax.device_get(ema_params),
+                jax.device_get(state.batch_stats),
+            )
+            logger.info(
+                f"New best EMA model saved to {best_ema_path} "
+                f"(EMA Val Loss: {best_ema_val:.6f})"
+            )
         ckpt_lib.save_train_state(
             resume_dir,
             {"state": jax.device_get(state), "epoch": epoch, "best_val": best_val},
@@ -343,10 +387,14 @@ def fit(
     writer.close()
     logger.info("--- Training Finished ---")
     logger.info(f"Final best model saved at: {best_path}")
-    return {
+    result = {
         "best_val": best_val,
         "best_path": best_path,
         "run_dir": run_dir,
         "history": history,
         "state": state,
     }
+    if config.ema_decay:
+        result["best_ema_val"] = best_ema_val
+        result["best_ema_path"] = best_ema_path
+    return result

@@ -103,6 +103,43 @@ def _write_npy_dataset(d, n=8, shape=(70, 40)):
 
 
 class TestFit:
+    def test_fit_with_ema(self, tmp_path, monkeypatch):
+        """--ema_decay tracks smoothed weights, validates them, and exports
+        best_model_ema.ckpt; EMA params must differ from the raw params
+        (they lag the optimizer trajectory)."""
+        from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.train.checkpoints import load_exported
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(features=(4, 8), bottleneck=16,
+                                            dtype=dtype, remat=remat),
+        )
+        data_dir = tmp_path / "npy"
+        data_dir.mkdir()
+        _write_npy_dataset(data_dir)
+        ds = SpectrogramPairs(str(data_dir), target_size=(64, 32))
+        tr, va = split_train_val(len(ds), 0.25, seed=0)
+        cfg = FitConfig(
+            run_name="ema", output_path=str(tmp_path / "out"),
+            epochs=2, batch_size=4, precision="f32", ema_decay=0.9,
+        )
+        res = fit(
+            cfg,
+            lambda epoch: batches(ds, tr, 4, shuffle=True, seed=epoch),
+            lambda: batches(ds, va, 4, shuffle=False),
+        )
+        assert os.path.exists(res["best_ema_path"])
+        assert np.isfinite(res["best_ema_val"])
+        raw = load_exported(res["best_path"])
+        ema = load_exported(res["best_ema_path"])
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            raw["params"], ema["params"],
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
     def test_fit_end_to_end_and_resume(self, tmp_path, monkeypatch):
         """Two epochs on a tiny npy dataset, then resume for a third."""
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
