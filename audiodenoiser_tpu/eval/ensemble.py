@@ -52,6 +52,30 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def windowed_logits(router_model, params, specs: jax.Array) -> jax.Array:
+    """Router logits matched to the TRAINING distribution: the router
+    learns on (256, 64) center=False crops (OnDeviceMixer), but eval/serve
+    spectrograms arrive as (257, T) center=True wholes — crop frequency to
+    256 and average logits over consecutive 64-frame windows (test-time
+    majority vote). Measured on the v5e workflow test sets: mean accuracy
+    0.84 raw whole-clip -> 0.97 windowed (urban 0.75 -> 1.00,
+    noise_cancellation 0.625 -> 0.875). Traceable: callers may use it
+    inside their own jit."""
+    b, f, t, c = specs.shape
+    fw, tw = 256, 64
+    x = specs[:, : min(f, fw), :, :]
+    if x.shape[1] < fw:
+        x = jnp.pad(x, ((0, 0), (0, fw - x.shape[1]), (0, 0), (0, 0)))
+    n_win = max(1, t // tw)
+    x = x[:, :, : n_win * tw, :]
+    if x.shape[2] < tw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, tw - x.shape[2]), (0, 0)))
+    wins = x.reshape(b, fw, n_win, tw, c).transpose(0, 2, 1, 3, 4)
+    wins = wins.reshape(b * n_win, fw, tw, c)
+    logits = router_model.apply({"params": params}, wins)
+    return logits.reshape(b, n_win, -1).mean(axis=1)
+
+
 class MixtureOfDenoisers:
     """Router-dispatched specialist ensemble (spectrogram in/out).
 
@@ -76,41 +100,28 @@ class MixtureOfDenoisers:
         self.router_params = router_params
         self.expert_model = experts[NOISE_CLASSES[0]][0]
         self.expert_vars = [experts[nt][1] for nt in NOISE_CLASSES]
-        # one stacked pytree (leading axis = expert) for the EP path
-        self.stacked_vars = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *self.expert_vars,
-        )
+        self._stacked = None  # built lazily: only the EP path pays for it
+        self._ep_cache: dict = {}  # mesh -> (jitted fn, sharded stack)
         self._classify = jax.jit(
             lambda p, x: jnp.argmax(self.router_model.apply({"params": p}, x), -1)
         )
-        self._classify_windowed = jax.jit(self._windowed_logits_argmax)
+        self._classify_windowed = jax.jit(
+            lambda p, x: jnp.argmax(windowed_logits(self.router_model, p, x), -1)
+        )
         self._forward = jax.jit(
             lambda v, x: self.expert_model.apply(v, x, train=False)
         )
 
-    def _windowed_logits_argmax(self, p, x):
-        # Match the router's TRAINING distribution at eval time: the router
-        # learns on (256, 64) center=False crops (OnDeviceMixer), but eval
-        # clips arrive as (257, T) center=True wholes — crop freq to 256
-        # and average logits over consecutive 64-frame windows (test-time
-        # majority vote). Measured on the v5e workflow test sets: mean
-        # accuracy 0.84 raw -> 0.97 windowed (urban 0.75 -> 1.00,
-        # noise_cancellation 0.625 -> 0.875).
-        b, f, t, c = x.shape
-        fw, tw = 256, 64
-        x = x[:, : min(f, fw), :, :]
-        if x.shape[1] < fw:
-            x = jnp.pad(x, ((0, 0), (0, fw - x.shape[1]), (0, 0), (0, 0)))
-        n_win = max(1, t // tw)
-        x = x[:, :, : n_win * tw, :]
-        if x.shape[2] < tw:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, tw - x.shape[2]), (0, 0)))
-        wins = x.reshape(b, fw, n_win, tw, c).transpose(0, 2, 1, 3, 4)
-        wins = wins.reshape(b * n_win, fw, tw, c)
-        logits = self.router_model.apply({"params": p}, wins)
-        logits = logits.reshape(b, n_win, -1).mean(axis=1)
-        return jnp.argmax(logits, -1)
+    @property
+    def stacked_vars(self):
+        """Expert variables stacked on a leading axis (built on first use —
+        it costs a full extra copy of every expert's weights)."""
+        if self._stacked is None:
+            self._stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *self.expert_vars,
+            )
+        return self._stacked
 
     def classify(self, specs: jax.Array, windowed: bool = True) -> jax.Array:
         """(B, F, T, 1) magnitudes -> (B,) predicted corruption indices.
@@ -122,10 +133,13 @@ class MixtureOfDenoisers:
             return self._classify_windowed(self.router_params, specs)
         return self._classify(self.router_params, specs)
 
-    def denoise(self, specs: jax.Array) -> jax.Array:
+    def denoise(self, specs: jax.Array, labels=None) -> jax.Array:
         """Host-bucketed routed denoise: each clip forwarded once through
-        its predicted specialist."""
-        labels = np.asarray(self.classify(specs))
+        its predicted specialist. Pass precomputed ``labels`` (e.g. from an
+        earlier :meth:`classify` over the same specs) to skip the router."""
+        if labels is None:
+            labels = self.classify(specs)
+        labels = np.asarray(labels)
         specs_np = np.asarray(specs)
         out = np.empty_like(specs_np)
         for e in range(len(NOISE_CLASSES)):
@@ -145,7 +159,36 @@ class MixtureOfDenoisers:
             out[idx] = np.asarray(y)[: idx.size]
         return jnp.asarray(out)
 
-    def denoise_ep(self, specs: jax.Array, mesh: Mesh) -> jax.Array:
+    def _ep_program(self, mesh: Mesh):
+        """Jitted shard_map + expert-sharded weight placement, cached per
+        mesh so repeated denoise_ep calls neither recompile nor re-transfer
+        the stacked weights."""
+        if mesh not in self._ep_cache:
+            data_spec = P(DATA_AXIS, None, None, None)
+
+            def local_fn(stacked, x, lab):
+                # stacked leaves: (1, ...) — this device-group's expert
+                vars_ = jax.tree_util.tree_map(lambda a: a[0], stacked)
+                y = self.expert_model.apply(vars_, x, train=False)
+                mine = (lab == jax.lax.axis_index(EXPERT_AXIS)).astype(y.dtype)
+                return jax.lax.psum(y * mine[:, None, None, None], EXPERT_AXIS)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    local_fn,
+                    mesh=mesh,
+                    in_specs=(P(EXPERT_AXIS), data_spec, P(DATA_AXIS)),
+                    out_specs=data_spec,
+                    check_vma=False,
+                )
+            )
+            stacked = jax.device_put(
+                self.stacked_vars, NamedSharding(mesh, P(EXPERT_AXIS))
+            )
+            self._ep_cache[mesh] = (fn, stacked, data_spec)
+        return self._ep_cache[mesh]
+
+    def denoise_ep(self, specs: jax.Array, mesh: Mesh, labels=None) -> jax.Array:
         """Expert-parallel SPMD dispatch over a ('data', 'expert') mesh."""
         n_experts = mesh.shape[EXPERT_AXIS]
         if n_experts != len(NOISE_CLASSES):
@@ -156,31 +199,15 @@ class MixtureOfDenoisers:
         b = specs.shape[0]
         b_pad = ((b + dp - 1) // dp) * dp
         specs_p = jnp.pad(specs, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
-        labels = self.classify(specs_p)
+        if labels is None:
+            labels = self.classify(specs_p)
+        else:
+            labels = jnp.pad(jnp.asarray(labels), (0, b_pad - b))
 
-        data_spec = P(DATA_AXIS, None, None, None)
-
-        def local_fn(stacked, x, lab):
-            # stacked leaves: (1, ...) — this device-group's expert
-            vars_ = jax.tree_util.tree_map(lambda a: a[0], stacked)
-            y = self.expert_model.apply(vars_, x, train=False)
-            mine = (lab == jax.lax.axis_index(EXPERT_AXIS)).astype(y.dtype)
-            return jax.lax.psum(y * mine[:, None, None, None], EXPERT_AXIS)
-
-        fn = jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(P(EXPERT_AXIS), data_spec, P(DATA_AXIS)),
-            out_specs=data_spec,
-            check_vma=False,
-        )
+        fn, stacked, data_spec = self._ep_program(mesh)
         specs_p = jax.device_put(specs_p, NamedSharding(mesh, data_spec))
         labels = jax.device_put(labels, NamedSharding(mesh, P(DATA_AXIS)))
-        stacked = jax.device_put(
-            self.stacked_vars,
-            NamedSharding(mesh, P(EXPERT_AXIS)),
-        )
-        return jax.jit(fn)(stacked, specs_p, labels)[:b]
+        return fn(stacked, specs_p, labels)[:b]
 
 
 def load_mixture(
@@ -258,10 +285,12 @@ def evaluate_routed(
         specs = jnp.asarray(noisy)[..., None]
         pred = np.asarray(mixture.classify(specs))
         acc = float(np.mean(pred == NOISE_CLASSES.index(nt)))
+        # reuse the labels: the reported accuracy then describes exactly
+        # the routing the denoise pass used, and the router runs once
         if ep_mesh is not None:
-            denoised = mixture.denoise_ep(specs, ep_mesh)
+            denoised = mixture.denoise_ep(specs, ep_mesh, labels=pred)
         else:
-            denoised = mixture.denoise(specs)
+            denoised = mixture.denoise(specs, labels=pred)
         total, s, m, l1 = combined_perceptual_loss(
             denoised, jnp.asarray(clean)[..., None]
         )

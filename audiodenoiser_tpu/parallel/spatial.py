@@ -28,6 +28,7 @@ over *activations* (time), tp over *weights* (channels); here we dedicate a
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -57,6 +58,46 @@ def make_seq_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+_IN_SHARDING = P(None, None, SEQ_AXIS, None)
+_SHARD_FN_CACHE: dict = {}
+
+
+def _sharded_forward(model, mesh: Mesh, n_seq: int, halo: int):
+    """Jitted shard_map forward, cached per (model, mesh, n_seq, halo) so
+    repeated calls (clip directories, dryruns) reuse one compiled program
+    per input shape instead of re-tracing a fresh closure every call."""
+    key = (model, mesh, n_seq, halo)
+    if key not in _SHARD_FN_CACHE:
+
+        def local_fn(vars_, x):
+            # x: (B, F, S, C) local shard. Neighbor exchange: my right-edge
+            # frames travel to my right neighbor (their left halo) and vice
+            # versa; devices with no neighbor on a side receive zeros,
+            # which is exactly the zero padding the edge of the clip sees.
+            right_shift = [(i, i + 1) for i in range(n_seq - 1)]
+            left_shift = [(i + 1, i) for i in range(n_seq - 1)]
+            left_halo = jax.lax.ppermute(
+                x[:, :, -halo:, :], SEQ_AXIS, right_shift
+            )
+            right_halo = jax.lax.ppermute(
+                x[:, :, :halo, :], SEQ_AXIS, left_shift
+            )
+            window = jnp.concatenate([left_halo, x, right_halo], axis=2)
+            out = model.apply(vars_, window, train=False)
+            return out[:, :, halo : halo + x.shape[2], :]
+
+        _SHARD_FN_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(), _IN_SHARDING),
+                out_specs=_IN_SHARDING,
+                check_vma=False,
+            )
+        )
+    return _SHARD_FN_CACHE[key]
 
 
 def denoise_spec_sharded(
@@ -95,33 +136,38 @@ def denoise_spec_sharded(
     t_pad = shard * n_seq
     spec_p = jnp.pad(spec, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
 
-    in_sharding = P(None, None, SEQ_AXIS, None)
-
-    def local_fn(vars_, x):
-        # x: (B, F, S, C) local shard. Neighbor exchange: my right-edge
-        # frames travel to my right neighbor (their left halo) and vice
-        # versa; devices with no neighbor on a side receive zeros, which is
-        # exactly the zero padding the edge of the clip sees.
-        right_shift = [(i, i + 1) for i in range(n_seq - 1)]
-        left_shift = [(i + 1, i) for i in range(n_seq - 1)]
-        left_halo = jax.lax.ppermute(x[:, :, -halo:, :], SEQ_AXIS, right_shift)
-        right_halo = jax.lax.ppermute(x[:, :, :halo, :], SEQ_AXIS, left_shift)
-        window = jnp.concatenate([left_halo, x, right_halo], axis=2)
-        out = model.apply(vars_, window, train=False)
-        return out[:, :, halo : halo + x.shape[2], :]
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), in_sharding),
-        out_specs=in_sharding,
-        check_vma=False,
-    )
-    spec_p = jax.device_put(spec_p, NamedSharding(mesh, in_sharding))
-    out = jax.jit(fn)(variables, spec_p)[:, :, :t, :]
+    fn = _sharded_forward(model, mesh, n_seq, halo)
+    spec_p = jax.device_put(spec_p, NamedSharding(mesh, _IN_SHARDING))
+    out = fn(variables, spec_p)[:, :, :t, :]
     if squeeze:
         out = out[0, :, :, 0]
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_synthesis(n_fft: int, hop_length: int, precision: str):
+    """Jitted STFT analysis / noisy-phase iSTFT synthesis, cached per DSP
+    config (eager complex ops are unsupported on some backends and
+    pathologically slow on remote ones)."""
+    from audiodenoiser_tpu.dsp import stft as stft_lib
+
+    @jax.jit
+    def analysis(w):
+        spec = stft_lib.stft(
+            w, n_fft=n_fft, hop_length=hop_length, center=True,
+            precision=precision,
+        )
+        return stft_lib.magphase(spec)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def synthesis(mag, phase, length):
+        spec = jnp.maximum(mag, 0.0).astype(jnp.complex64) * phase
+        return stft_lib.istft(
+            spec, hop_length=hop_length, n_fft=n_fft, center=True,
+            length=length, precision=precision,
+        )
+
+    return analysis, synthesis
 
 
 def denoise_waveform_sharded(
@@ -141,33 +187,13 @@ def denoise_waveform_sharded(
     U-Net's FLOPs — so only the hot forward pays collective traffic: one
     ``2*halo``-frame ``ppermute`` per neighbor pair, riding ICI.
     """
-    from audiodenoiser_tpu.dsp import stft as stft_lib
-
     if wav.ndim != 1:
         raise ValueError(f"expected a single (samples,) clip, got {wav.shape}")
 
-    # Analysis/synthesis run jitted (eager complex ops are unsupported on
-    # some backends and pathologically slow on remote ones); only the
-    # U-Net forward in between is mesh-sharded.
-    @jax.jit
-    def analysis(w):
-        spec = stft_lib.stft(
-            w, n_fft=n_fft, hop_length=hop_length, center=True,
-            precision=precision,
-        )
-        return stft_lib.magphase(spec)
-
-    @jax.jit
-    def synthesis(mag, phase):
-        spec = jnp.maximum(mag, 0.0).astype(jnp.complex64) * phase
-        return stft_lib.istft(
-            spec, hop_length=hop_length, n_fft=n_fft, center=True,
-            length=wav.shape[-1], precision=precision,
-        )
-
+    analysis, synthesis = _analysis_synthesis(n_fft, hop_length, precision)
     mag, phase = analysis(wav)
     denoised = denoise_spec_sharded(model, variables, mag, mesh, halo=halo)
-    return synthesis(denoised, phase)
+    return synthesis(denoised, phase, wav.shape[-1])
 
 
 def reference_padded_forward(

@@ -88,6 +88,7 @@ class DenoiseService:
             import jax.numpy as jnp
 
             import audiodenoiser_tpu.dsp.stft as stft_lib
+            from audiodenoiser_tpu.eval.ensemble import windowed_logits
 
             n_fft, hop = runner.n_fft, runner.hop
 
@@ -96,12 +97,20 @@ class DenoiseService:
                 mag = jnp.abs(
                     stft_lib.stft(audio, n_fft, hop, center=True)
                 )
-                logits = router_model.apply(
-                    {"params": router_params}, mag[..., None]
+                # windowed vote, same as eval routing: whole-clip raw
+                # classification loses ~13% accuracy to the train/serve
+                # feature-distribution shift (eval/ensemble.windowed_logits)
+                logits = windowed_logits(
+                    router_model, router_params, mag[..., None]
                 )
                 return jnp.argmax(logits, -1)
 
             self._classify = classify
+        if default_mode == "auto" and self._classify is None:
+            raise ValueError(
+                "default_mode='auto' requires router and expert_runners "
+                "(cli.serve --auto_route)"
+            )
         if warmup:
             self._warmup()
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
@@ -177,9 +186,9 @@ class DenoiseService:
         """Router-dispatched batch: classify the coalesced clips in one
         device call, then forward each predicted-expert group through its
         specialist runner (noisy-phase reconstruction)."""
-        labels = np.asarray(
-            self._classify(jax.numpy.asarray(stacked[: len(batch)]))
-        )
+        # classify the pow-2-padded rows: one compiled classify program per
+        # bucket like the denoise path (padded rows' labels are discarded)
+        labels = np.asarray(self._classify(jax.numpy.asarray(stacked)))
         for lab in sorted(set(labels.tolist())):
             idx = [i for i in range(len(batch)) if labels[i] == lab]
             b_pad = _pow2_batch(len(idx), self.max_batch)

@@ -286,28 +286,45 @@ def fit(
 
     start_epoch = 0
     best_val = float("inf")
+    ema_params = None
+    best_ema_val = float("inf")
     resume_dir = os.path.join(ckpt_dir, "train_state")
     if config.resume and os.path.exists(resume_dir):
-        template = {
-            "state": jax.device_get(state),
-            "epoch": 0,
-            "best_val": 0.0,
-        }
-        restored = ckpt_lib.restore_train_state(resume_dir, template)
+
+        def try_restore(with_ema: bool):
+            template = {
+                "state": jax.device_get(state),
+                "epoch": 0,
+                "best_val": 0.0,
+            }
+            if with_ema:
+                template["ema"] = jax.device_get(state.params)
+                template["best_ema_val"] = 0.0
+            return ckpt_lib.restore_train_state(resume_dir, template)
+
+        # checkpoints written with --ema_decay carry the EMA average; try
+        # that layout first so resume does not silently reset it (and a
+        # pre-EMA checkpoint still restores via the plain layout)
+        try:
+            restored = try_restore(True)
+        except Exception:
+            restored = try_restore(False)
         state = restored["state"]
         if mesh is not None:
             state = shard_train_state(state, mesh, fsdp=config.fsdp)
         start_epoch = int(restored["epoch"]) + 1
         best_val = float(restored["best_val"])
+        if config.ema_decay and "ema" in restored:
+            ema_params = jax.tree_util.tree_map(jnp.asarray, restored["ema"])
+            best_ema_val = float(restored["best_ema_val"])
         logger.info(f"Resumed from epoch {start_epoch} (best val {best_val:.6f})")
 
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     best_ema_path = os.path.join(ckpt_dir, "best_model_ema.ckpt")
-    ema_params = None
-    best_ema_val = float("inf")
     if config.ema_decay:
-        ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
+        if ema_params is None:
+            ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
         ema_decay = jnp.float32(config.ema_decay)
 
     logger.info("--- Starting Training Loop ---")
@@ -379,10 +396,15 @@ def fit(
                 f"New best EMA model saved to {best_ema_path} "
                 f"(EMA Val Loss: {best_ema_val:.6f})"
             )
-        ckpt_lib.save_train_state(
-            resume_dir,
-            {"state": jax.device_get(state), "epoch": epoch, "best_val": best_val},
-        )
+        payload = {
+            "state": jax.device_get(state),
+            "epoch": epoch,
+            "best_val": best_val,
+        }
+        if ema_params is not None:
+            payload["ema"] = jax.device_get(ema_params)
+            payload["best_ema_val"] = best_ema_val
+        ckpt_lib.save_train_state(resume_dir, payload)
 
     writer.close()
     logger.info("--- Training Finished ---")
