@@ -41,6 +41,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from audiodenoiser_tpu.data.builders import build_test_dataset
 
     for nt in args.noise_types:

@@ -64,6 +64,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
     import jax.numpy as jnp

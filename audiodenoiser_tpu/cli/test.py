@@ -88,6 +88,9 @@ def _build_mesh(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import os
 

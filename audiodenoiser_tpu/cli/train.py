@@ -162,6 +162,9 @@ def _resolve_npy_dir(base: str, noise_type: str | None) -> str:
 
 def main(argv=None):
     args = parse_args(argv)
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.noise_type == "all":
         # the reference's implied workflow (SURVEY.md §1 breakage 2): one

@@ -165,6 +165,9 @@ def main(argv=None):
                    help="skip the training-throughput measurement")
     p.add_argument("--train_batch_size", type=int, default=256)
     args = p.parse_args(argv)
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     result = run_bench(args.batch_size, args.clip_seconds, args.iters,
                        mode=args.mode, pipelined=not args.latency)
     if not args.no_train:

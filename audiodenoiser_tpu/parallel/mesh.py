@@ -81,6 +81,8 @@ def _param_spec(path: tuple, leaf, model_size: int, fsdp_size: int = 1) -> P:
             spec[3] = MODEL_AXIS
         if fsdp_size > 1 and shape[2] % fsdp_size == 0 and shape[2] >= 128:
             spec[2] = DATA_AXIS
+        if all(a is None for a in spec):
+            return P()  # fully replicated: canonical empty spec
         return P(*spec)
     if (
         len(shape) == 1

@@ -36,6 +36,9 @@ jax.config.update(
                  ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# keep CLI mains invoked by tests from redirecting the cache away from
+# .jax_cache mid-suite (utils/cache.enable_persistent_cache honors this)
+os.environ.setdefault("ADT_NO_COMPILE_CACHE", "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -81,3 +81,26 @@ class TestInstallErrors:
         bad.write_bytes(b"not a zip")
         with pytest.raises(Exception):
             provision(str(bad), str(tmp_path / "d"))
+
+
+class TestPersistentCache:
+    def test_enable_sets_cache_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+        monkeypatch.delenv("ADT_NO_COMPILE_CACHE", raising=False)
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            path = enable_persistent_cache(str(tmp_path / "xla"))
+            assert path == str(tmp_path / "xla")
+            assert os.path.isdir(path)
+            assert jax.config.jax_compilation_cache_dir == path
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_opt_out_env(self, monkeypatch):
+        from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+        monkeypatch.setenv("ADT_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_cache() is None
