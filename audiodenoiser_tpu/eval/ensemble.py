@@ -209,6 +209,133 @@ class MixtureOfDenoisers:
         labels = jax.device_put(labels, NamedSharding(mesh, P(DATA_AXIS)))
         return fn(stacked, specs_p, labels)[:b]
 
+    def denoise_ep_a2a(
+        self,
+        specs: jax.Array,
+        mesh: Mesh,
+        capacity_factor: float = 1.5,
+        labels=None,
+    ) -> jax.Array:
+        """Capacity-based all_to_all expert dispatch over a 1-D
+        ('expert',) mesh (:func:`make_a2a_mesh`).
+
+        Each clip is forwarded by exactly one expert device (vs the dense
+        path's every-expert-computes-everything), cutting per-device
+        compute ~``n_experts / capacity_factor``-fold when routing is
+        balanced. Bucket overflow (a label drawing more than
+        ``capacity_factor`` times its fair share on one device) falls back
+        to the host-bucketed path, so every clip is always denoised by its
+        routed expert.
+        """
+        n_experts = mesh.shape[EXPERT_AXIS]
+        if n_experts != len(NOISE_CLASSES):
+            raise ValueError(
+                f"mesh 'expert' axis is {n_experts}, need {len(NOISE_CLASSES)}"
+            )
+        b = specs.shape[0]
+        b_pad = ((b + n_experts - 1) // n_experts) * n_experts
+        specs_p = jnp.pad(specs, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
+        if labels is None:
+            labels_p = self.classify(specs_p)
+        else:
+            labels_p = jnp.pad(jnp.asarray(labels), (0, b_pad - b))
+        b_loc = b_pad // n_experts
+        capacity = max(1, -(-int(b_loc * capacity_factor) // n_experts))
+
+        key = (mesh, "a2a", capacity)
+        if key not in self._ep_cache:
+            fn = _a2a_dispatch_fn(self, mesh, n_experts, capacity)
+            stacked = jax.device_put(
+                self.stacked_vars, NamedSharding(mesh, P(EXPERT_AXIS))
+            )
+            self._ep_cache[key] = (fn, stacked)
+        fn, stacked = self._ep_cache[key]
+
+        batch_spec = NamedSharding(mesh, P(EXPERT_AXIS, None, None, None))
+        out, valid = fn(
+            stacked,
+            jax.device_put(specs_p, batch_spec),
+            jax.device_put(labels_p, NamedSharding(mesh, P(EXPERT_AXIS))),
+        )
+        out = np.array(out)[:b]  # writable copy: overflow rows get patched
+        valid = np.asarray(valid)[:b]
+        dropped = np.nonzero(~valid)[0]
+        if dropped.size:
+            redo = self.denoise(
+                jnp.asarray(np.asarray(specs)[dropped]),
+                labels=np.asarray(labels_p)[dropped],
+            )
+            out[dropped] = np.asarray(redo)
+        return jnp.asarray(out)
+
+
+def make_a2a_mesh(n_experts: int = len(NOISE_CLASSES)) -> Mesh:
+    """1-D ('expert',) mesh for the all_to_all dispatch path."""
+    devices = jax.devices()
+    if len(devices) < n_experts:
+        raise ValueError(f"need {n_experts} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_experts]), (EXPERT_AXIS,))
+
+
+def _a2a_dispatch_fn(mixture: "MixtureOfDenoisers", mesh: Mesh,
+                     n_experts: int, capacity: int):
+    """shard_map body for capacity-based all_to_all expert dispatch.
+
+    Unlike the dense path (every device forwards its whole data shard and
+    a one-hot psum selects), this is the classic MoE exchange: each device
+    buckets its local clips by destination expert (up to ``capacity`` per
+    expert), one ``lax.all_to_all`` ships every bucket to its expert's
+    device, the expert forwards only the clips routed to it, and a second
+    all_to_all ships results home. Per-device compute drops from
+    ``local_batch * n_experts`` clip-forwards (dense) to
+    ``n_experts * capacity ~= local_batch * capacity_factor``. Clips
+    beyond a bucket's capacity are NOT denoised here — the wrapper reports
+    them and falls back to the host-bucketed path (production capacity
+    overflow handling).
+    """
+
+    def local_fn(stacked, x, lab):
+        # x: (b_loc, F, T, C) local clips; lab: (b_loc,) expert indices
+        b_loc = x.shape[0]
+        onehot = (lab[:, None] == jnp.arange(n_experts)[None, :]).astype(
+            jnp.int32
+        )
+        # position of clip i within its label group
+        rank = jnp.take_along_axis(
+            jnp.cumsum(onehot, axis=0), lab[:, None], axis=1
+        )[:, 0] - 1
+        valid = rank < capacity
+        # overflow clips land in a scratch slot (index ``capacity``) so
+        # they cannot clobber a legitimately-occupied bucket entry
+        slot = jnp.where(valid, rank, capacity)
+        send = jnp.zeros((n_experts, capacity + 1, *x.shape[1:]), x.dtype)
+        send = send.at[lab, slot].set(x)[:, :capacity]
+        # bucket e travels to device e; received[j] = peer j's bucket for me
+        recv = jax.lax.all_to_all(
+            send, EXPERT_AXIS, split_axis=0, concat_axis=0, tiled=False
+        )
+        vars_ = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        y = mixture.expert_model.apply(
+            vars_, recv.reshape(n_experts * capacity, *x.shape[1:]),
+            train=False,
+        ).reshape(n_experts, capacity, *x.shape[1:])
+        back = jax.lax.all_to_all(
+            y, EXPERT_AXIS, split_axis=0, concat_axis=0, tiled=False
+        )
+        out = back[lab, jnp.minimum(rank, capacity - 1)]
+        out = jnp.where(valid[:, None, None, None], out, 0.0)
+        return out, valid
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(EXPERT_AXIS), P(EXPERT_AXIS), P(EXPERT_AXIS)),
+            out_specs=(P(EXPERT_AXIS), P(EXPERT_AXIS)),
+            check_vma=False,
+        )
+    )
+
 
 def load_mixture(
     saved_models_dir: str = "./saved_models",

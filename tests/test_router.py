@@ -145,3 +145,37 @@ def test_expert_parallel_matches_bucketed(mixture, rng):
     got = np.asarray(mixture.denoise_ep(specs, mesh))
     want = np.asarray(mixture.denoise(specs))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_a2a_dispatch_matches_bucketed(mixture, rng):
+    """all_to_all capacity dispatch (each clip computed by exactly one
+    expert device) must equal the host-bucketed routing."""
+    from audiodenoiser_tpu.eval.ensemble import make_a2a_mesh
+
+    specs = jnp.asarray(
+        np.abs(rng.standard_normal((8, 64, 64, 1))), jnp.float32
+    )
+    mesh = make_a2a_mesh(4)
+    got = np.asarray(
+        mixture.denoise_ep_a2a(specs, mesh, capacity_factor=4.0)
+    )
+    want = np.asarray(mixture.denoise(specs))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_a2a_overflow_falls_back_to_bucketed(mixture, rng):
+    """With every clip routed to one expert and capacity_factor 1.0, most
+    buckets overflow — the fallback must still denoise every clip through
+    its routed expert."""
+    from audiodenoiser_tpu.eval.ensemble import make_a2a_mesh
+
+    specs = jnp.asarray(
+        np.abs(rng.standard_normal((8, 64, 64, 1))), jnp.float32
+    )
+    labels = np.full((8,), 2, np.int32)
+    mesh = make_a2a_mesh(4)
+    got = np.asarray(
+        mixture.denoise_ep_a2a(specs, mesh, capacity_factor=1.0, labels=labels)
+    )
+    want = np.asarray(mixture.denoise(specs, labels=labels))
+    np.testing.assert_allclose(got, want, atol=1e-5)
