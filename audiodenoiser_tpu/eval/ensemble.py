@@ -342,11 +342,15 @@ def load_mixture(
     dtype=None,
     router_name: str = "noise_router.ckpt",
     expert_model=None,
+    stem: str = "unet_denoiser",
 ) -> MixtureOfDenoisers:
     """Assemble a MixtureOfDenoisers from a saved_models/ directory holding
-    the 4 specialist checkpoints (``unet_denoiser_{nt}.ckpt`` or reference
-    ``.pth``) plus the trained router (``noise_router.ckpt`` from
-    ``cli.train --model router``)."""
+    the 4 specialist checkpoints (``{stem}_{nt}.ckpt``; for the magnitude
+    family reference ``.pth`` files also work) plus the trained router
+    (``noise_router.ckpt`` from ``cli.train --model router``). Use
+    ``stem='mask_denoiser'`` to route the complex-mask specialist family
+    with the same router (the router reads noisy magnitudes, which both
+    families share)."""
     import os
 
     from audiodenoiser_tpu.eval.runner import load_model_for_noise
@@ -374,7 +378,7 @@ def load_mixture(
     experts = {}
     for nt in NOISE_CLASSES:
         experts[nt] = load_model_for_noise(
-            nt, saved_models_dir, dtype=dtype, model=expert_model
+            nt, saved_models_dir, dtype=dtype, model=expert_model, stem=stem
         )
     return MixtureOfDenoisers(experts, payload["params"],
                               router_model=router_model)

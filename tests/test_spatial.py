@@ -76,6 +76,26 @@ def test_waveform_long_clip_roundtrip(small_model, rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_waveform_sharded_matches_runner_interior(small_model, rng):
+    """The sp waveform path must agree with DenoiserRunner's noisy-phase
+    graph away from the clip edges (edges see the halo zero padding)."""
+    from audiodenoiser_tpu.eval.runner import DenoiserRunner
+
+    model, variables = small_model
+    mesh = make_seq_mesh(8)
+    wav = jnp.asarray(rng.standard_normal(2 * 8000) * 0.1, jnp.float32)
+    got = np.asarray(
+        denoise_waveform_sharded(model, variables, wav, mesh, halo=96)
+    )
+    runner = DenoiserRunner(model, variables)
+    want = np.asarray(
+        runner.denoise_audio(wav[None], jax.random.key(0), mode="noisy_phase")
+    )[0]
+    # interior: skip RECEPTIVE_RADIUS frames of hop-128 audio on each side
+    lo = (RECEPTIVE_RADIUS + 8) * 128
+    np.testing.assert_allclose(got[lo:-lo], want[lo:-lo], atol=2e-4)
+
+
 def test_batched_nhwc_and_uneven_length(small_model, rng):
     model, variables = small_model
     mesh = make_seq_mesh(8)
