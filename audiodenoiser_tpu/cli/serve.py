@@ -99,11 +99,12 @@ def main(argv=None):
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
     router = expert_runners = None
+    auto_expert_mode = "noisy_phase"
     if args.auto_route:
         from audiodenoiser_tpu.eval.ensemble import load_mixture
         from audiodenoiser_tpu.models.router import NOISE_CLASSES
 
-        mixture = load_mixture(args.saved_models_dir, dtype=dtype)
+        mixture = load_mixture(args.saved_models_dir, dtype=dtype, stem=stem)
         router = (mixture.router_model, mixture.router_params)
         expert_runners = {
             i: DenoiserRunner(
@@ -112,8 +113,12 @@ def main(argv=None):
             )
             for i in range(len(NOISE_CLASSES))
         }
+        if args.model == "complex_mask":
+            auto_expert_mode = "complex_mask"
         default_mode = args.mode or "auto"
-        print(f"Auto-routing over specialists: {', '.join(NOISE_CLASSES)}")
+        print(
+            f"Auto-routing over {stem} specialists: {', '.join(NOISE_CLASSES)}"
+        )
     if not args.no_warmup:
         print("Warming up (pre-compiling first-bucket programs)...")
     service = DenoiseService(
@@ -125,6 +130,7 @@ def main(argv=None):
         warmup=not args.no_warmup,
         router=router,
         expert_runners=expert_runners,
+        auto_expert_mode=auto_expert_mode,
     )
     server = make_http_server(service, args.host, args.port)
     print(

@@ -110,11 +110,24 @@ def main(argv=None):
 
         from audiodenoiser_tpu.eval.ensemble import (
             evaluate_routed,
+            evaluate_routed_waveform,
             load_mixture,
             make_ep_mesh,
         )
 
-        mixture = load_mixture(args.saved_models_dir, dtype=dtype)
+        stem = (
+            "mask_denoiser" if args.model == "complex_mask" else "unet_denoiser"
+        )
+        mixture = load_mixture(args.saved_models_dir, dtype=dtype, stem=stem)
+        if args.model == "complex_mask":
+            # mask experts consume complex STFTs: routed eval runs in the
+            # waveform domain over the test wavs (like --model complex_mask
+            # without routing)
+            return evaluate_routed_waveform(
+                mixture, args.clean_dir, args.noise_dir, args.output_dir,
+                noise_types=args.noise_types, sample_rate=args.sample_rate,
+                seed=args.seed,
+            )
         ep_mesh = None
         if jax.device_count() % 4 == 0 and jax.device_count() >= 4:
             ep_mesh = make_ep_mesh()

@@ -92,10 +92,18 @@ class MixtureOfDenoisers:
         experts: Mapping[str, tuple],
         router_params: Any,
         router_model: Optional[NoiseClassifier] = None,
+        family: str = "magnitude",  # "magnitude" | "mask"
+        n_fft: int = 512,
+        hop_length: int = 128,
     ):
         missing = [nt for nt in NOISE_CLASSES if nt not in experts]
         if missing:
             raise ValueError(f"missing experts for {missing}")
+        if family not in ("magnitude", "mask"):
+            raise ValueError(f"unknown family {family!r}")
+        self.family = family
+        self.n_fft = n_fft
+        self.hop = hop_length
         self.router_model = router_model or NoiseClassifier()
         self.router_params = router_params
         self.expert_model = experts[NOISE_CLASSES[0]][0]
@@ -133,10 +141,105 @@ class MixtureOfDenoisers:
             return self._classify_windowed(self.router_params, specs)
         return self._classify(self.router_params, specs)
 
+    def classify_waveform(self, wavs: jax.Array) -> jax.Array:
+        """(B, samples) waveforms -> (B,) predicted corruption indices
+        (magnitude STFT on device, then the windowed router vote)."""
+        if not hasattr(self, "_classify_wave"):
+            import audiodenoiser_tpu.dsp.stft as stft_lib
+
+            n_fft, hop = self.n_fft, self.hop
+
+            @jax.jit
+            def cw(p, a):
+                mag = jnp.abs(stft_lib.stft(a, n_fft, hop, center=True))
+                return jnp.argmax(
+                    windowed_logits(self.router_model, p, mag[..., None]), -1
+                )
+
+            self._classify_wave = cw
+        return self._classify_wave(self.router_params, wavs)
+
+    def _wave_forward(self):
+        """Jitted waveform-in/waveform-out forward for one expert's
+        variables — noisy-phase reconstruction for the magnitude family,
+        fused complex masking for the mask family."""
+        if hasattr(self, "_wave_fwd"):
+            return self._wave_fwd
+        import audiodenoiser_tpu.dsp.stft as stft_lib
+
+        n_fft, hop = self.n_fft, self.hop
+        if self.family == "mask":
+            from audiodenoiser_tpu.models.complex_mask import (
+                apply_mask,
+                spectrogram_features,
+            )
+
+            def fwd(v, a):
+                spec = stft_lib.stft(a, n_fft, hop, center=True)
+                mask = self.expert_model.apply(
+                    v, spectrogram_features(spec), train=False
+                )
+                return stft_lib.istft(
+                    apply_mask(mask, spec), hop, n_fft=n_fft, center=True,
+                    length=a.shape[-1],
+                )
+        else:
+
+            def fwd(v, a):
+                spec = stft_lib.stft(a, n_fft, hop, center=True)
+                mag, phase = stft_lib.magphase(spec)
+                den = self.expert_model.apply(
+                    v, mag[..., None], train=False
+                )[..., 0]
+                rec = jnp.maximum(den, 0.0).astype(jnp.complex64) * phase
+                return stft_lib.istft(
+                    rec, hop, n_fft=n_fft, center=True, length=a.shape[-1]
+                )
+
+        self._wave_fwd = jax.jit(fwd)
+        return self._wave_fwd
+
+    def denoise_waveform(self, wavs: jax.Array, labels=None) -> jax.Array:
+        """Routed waveform-in/waveform-out denoising — works for BOTH
+        specialist families (the router always reads noisy magnitudes):
+        magnitude experts reconstruct with the noisy phase, mask experts
+        run the fused complex-masking graph."""
+        squeeze = wavs.ndim == 1
+        if squeeze:
+            wavs = wavs[jnp.newaxis]
+        if labels is None:
+            labels = self.classify_waveform(wavs)
+        labels = np.asarray(labels)
+        wavs_np = np.asarray(wavs)
+        out = np.empty_like(wavs_np)
+        fwd = self._wave_forward()
+        for e in range(len(NOISE_CLASSES)):
+            idx = np.nonzero(labels == e)[0]
+            if idx.size == 0:
+                continue
+            padded = _next_pow2(idx.size)
+            sub = wavs_np[idx]
+            if padded != idx.size:
+                sub = np.concatenate(
+                    [sub, np.zeros((padded - idx.size, sub.shape[1]),
+                                   sub.dtype)]
+                )
+            y = fwd(self.expert_vars[e], jnp.asarray(sub))
+            out[idx] = np.asarray(y)[: idx.size]
+        out = jnp.asarray(out)
+        return out[0] if squeeze else out
+
     def denoise(self, specs: jax.Array, labels=None) -> jax.Array:
-        """Host-bucketed routed denoise: each clip forwarded once through
-        its predicted specialist. Pass precomputed ``labels`` (e.g. from an
-        earlier :meth:`classify` over the same specs) to skip the router."""
+        """Host-bucketed routed denoise of magnitude spectrograms: each
+        clip forwarded once through its predicted specialist. Pass
+        precomputed ``labels`` (e.g. from an earlier :meth:`classify` over
+        the same specs) to skip the router. Magnitude family only — the
+        mask family consumes complex STFTs, use :meth:`denoise_waveform`."""
+        if self.family != "magnitude":
+            raise ValueError(
+                "spectrogram-level dispatch is magnitude-family only; "
+                "use denoise_waveform for the mask family"
+            )
         if labels is None:
             labels = self.classify(specs)
         labels = np.asarray(labels)
@@ -190,6 +293,8 @@ class MixtureOfDenoisers:
 
     def denoise_ep(self, specs: jax.Array, mesh: Mesh, labels=None) -> jax.Array:
         """Expert-parallel SPMD dispatch over a ('data', 'expert') mesh."""
+        if self.family != "magnitude":
+            raise ValueError("denoise_ep is magnitude-family only")
         n_experts = mesh.shape[EXPERT_AXIS]
         if n_experts != len(NOISE_CLASSES):
             raise ValueError(
@@ -227,6 +332,8 @@ class MixtureOfDenoisers:
         to the host-bucketed path, so every clip is always denoised by its
         routed expert.
         """
+        if self.family != "magnitude":
+            raise ValueError("denoise_ep_a2a is magnitude-family only")
         n_experts = mesh.shape[EXPERT_AXIS]
         if n_experts != len(NOISE_CLASSES):
             raise ValueError(
@@ -240,16 +347,25 @@ class MixtureOfDenoisers:
         else:
             labels_p = jnp.pad(jnp.asarray(labels), (0, b_pad - b))
         b_loc = b_pad // n_experts
-        capacity = max(1, -(-int(b_loc * capacity_factor) // n_experts))
+        # ceil(b_loc * factor / E) without float->int truncation undersizing
+        capacity = max(
+            1, int(np.ceil(b_loc * capacity_factor / n_experts))
+        )
 
-        key = (mesh, "a2a", capacity)
-        if key not in self._ep_cache:
-            fn = _a2a_dispatch_fn(self, mesh, n_experts, capacity)
-            stacked = jax.device_put(
+        # stacked weights are placed once per mesh; only the program is
+        # keyed by capacity (it changes the bucket shapes)
+        mesh_key = (mesh, "a2a-stack")
+        if mesh_key not in self._ep_cache:
+            self._ep_cache[mesh_key] = jax.device_put(
                 self.stacked_vars, NamedSharding(mesh, P(EXPERT_AXIS))
             )
-            self._ep_cache[key] = (fn, stacked)
-        fn, stacked = self._ep_cache[key]
+        stacked = self._ep_cache[mesh_key]
+        fn_key = (mesh, "a2a", capacity)
+        if fn_key not in self._ep_cache:
+            self._ep_cache[fn_key] = _a2a_dispatch_fn(
+                self, mesh, n_experts, capacity
+            )
+        fn = self._ep_cache[fn_key]
 
         batch_spec = NamedSharding(mesh, P(EXPERT_AXIS, None, None, None))
         out, valid = fn(
@@ -257,15 +373,16 @@ class MixtureOfDenoisers:
             jax.device_put(specs_p, batch_spec),
             jax.device_put(labels_p, NamedSharding(mesh, P(EXPERT_AXIS))),
         )
-        out = np.array(out)[:b]  # writable copy: overflow rows get patched
         valid = np.asarray(valid)[:b]
         dropped = np.nonzero(~valid)[0]
-        if dropped.size:
-            redo = self.denoise(
-                jnp.asarray(np.asarray(specs)[dropped]),
-                labels=np.asarray(labels_p)[dropped],
-            )
-            out[dropped] = np.asarray(redo)
+        if dropped.size == 0:
+            return out[:b]  # fast path: stay on device
+        out = np.array(out)[:b]  # writable copy: overflow rows get patched
+        redo = self.denoise(
+            jnp.asarray(np.asarray(specs)[dropped]),
+            labels=np.asarray(labels_p)[dropped],
+        )
+        out[dropped] = np.asarray(redo)
         return jnp.asarray(out)
 
 
@@ -380,8 +497,87 @@ def load_mixture(
         experts[nt] = load_model_for_noise(
             nt, saved_models_dir, dtype=dtype, model=expert_model, stem=stem
         )
+    family = "mask" if stem == "mask_denoiser" else "magnitude"
     return MixtureOfDenoisers(experts, payload["params"],
-                              router_model=router_model)
+                              router_model=router_model, family=family)
+
+
+def evaluate_routed_waveform(
+    mixture: MixtureOfDenoisers,
+    clean_dir: str,
+    noise_dir: str,
+    output_dir: str,
+    noise_types=NOISE_CLASSES,
+    sample_rate: int = 8000,
+    snr_db: float = 8.0,
+    reverb_wet_level: float = 0.35,
+    seed: int = 0,
+) -> dict:
+    """Auto-routed waveform-domain eval (either family): corrupt the test
+    wavs on device per noise type, route with the noisy-magnitude router,
+    denoise through the routed specialists, and score true SI-SDR. Writes
+    ``{nt}_routed_metrics.txt``."""
+    import os
+
+    from audiodenoiser_tpu.data.builders import _corrupt_and_featurize
+    from audiodenoiser_tpu.data.pipeline import NoiseBank
+    from audiodenoiser_tpu.data.wav_io import load_wav_list, read_wav
+    from audiodenoiser_tpu.eval.metrics import si_sdr
+
+    clean_files = load_wav_list(clean_dir)
+    if not clean_files:
+        print(f"No wavs in {clean_dir}; nothing to do")
+        return {}
+    clips = [read_wav(f, sample_rate=sample_rate)[0] for f in clean_files]
+    min_len = min(len(c) for c in clips)
+    clean = jnp.asarray(np.stack([c[:min_len] for c in clips]))
+    noise_files = load_wav_list(noise_dir) if os.path.isdir(noise_dir) else []
+    bank = (
+        NoiseBank(
+            [read_wav(f, sample_rate=sample_rate)[0] for f in noise_files],
+            target_len=min_len,
+        )
+        if noise_files
+        else None
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    key = jax.random.key(seed)
+    results = {}
+    for nt in noise_types:
+        key, k_seg, k_mix = jax.random.split(key, 3)
+        segs = (
+            bank.sample(k_seg, clean.shape[0])
+            if (bank is not None and nt == "urban")
+            else jnp.zeros_like(clean)
+        )
+        noisy, _, _ = _corrupt_and_featurize(
+            k_mix, clean, segs, nt, mixture.n_fft, mixture.hop, True,
+            sample_rate, snr_db, reverb_wet_level,
+        )
+        pred = np.asarray(mixture.classify_waveform(noisy))
+        acc = float(np.mean(pred == NOISE_CLASSES.index(nt)))
+        den = mixture.denoise_waveform(noisy, labels=pred)
+        sdr_noisy = float(jnp.mean(si_sdr(noisy, clean)))
+        sdr_den = float(jnp.mean(si_sdr(den, clean)))
+        metrics = {
+            "routing_accuracy": acc,
+            "si_sdr_noisy": sdr_noisy,
+            "si_sdr": sdr_den,
+        }
+        print(f"\n=== Auto-routed waveform eval on noise type: {nt} ===")
+        print(f"Routing accuracy: {acc:.3f}")
+        print(f"SI-SDR: {sdr_noisy:.3f} dB (noisy) -> {sdr_den:.3f} dB")
+        with open(os.path.join(output_dir, f"{nt}_routed_metrics.txt"),
+                  "w") as f:
+            f.write(
+                f"Auto-routed waveform metrics ({mixture.family}) for "
+                f"noise type: {nt}\n"
+            )
+            f.write(f"Routing Accuracy: {acc:.6f}\n")
+            f.write(f"SI-SDR noisy: {sdr_noisy:.3f} dB\n")
+            f.write(f"SI-SDR denoised: {sdr_den:.3f} dB\n")
+        results[nt] = metrics
+    return results
 
 
 def evaluate_routed(

@@ -71,6 +71,8 @@ class DenoiseService:
         warmup: bool = False,
         router=None,  # (NoiseClassifier, params) enabling mode='auto'
         expert_runners=None,  # {label_index: DenoiserRunner} for mode='auto'
+        auto_expert_mode: str = "noisy_phase",  # reconstruction mode the
+        # routed specialists run ('complex_mask' for the mask family)
     ):
         self.runner = runner
         self.sample_rate = sample_rate
@@ -83,6 +85,7 @@ class DenoiseService:
         self.batches_run = 0
         self._classify = None
         self.expert_runners = expert_runners
+        self.auto_expert_mode = auto_expert_mode
         if router is not None and expert_runners is not None:
             router_model, router_params = router
             import jax.numpy as jnp
@@ -128,7 +131,8 @@ class DenoiseService:
             if self.default_mode == "auto":
                 jax.block_until_ready(self._classify(z))
                 for runner in self.expert_runners.values():
-                    out = runner.denoise_audio(z, self._key, mode="noisy_phase")
+                    out = runner.denoise_audio(z, self._key,
+                                               mode=self.auto_expert_mode)
                     jax.block_until_ready(out)
             else:
                 out = self.runner.denoise_audio(
@@ -197,7 +201,8 @@ class DenoiseService:
             runner = self.expert_runners[int(lab)]
             out = np.asarray(
                 runner.denoise_audio(
-                    jax.numpy.asarray(sub), self._key, mode="noisy_phase"
+                    jax.numpy.asarray(sub), self._key,
+                    mode=self.auto_expert_mode
                 )
             )
             for j, i in enumerate(idx):

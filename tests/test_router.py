@@ -147,6 +147,44 @@ def test_expert_parallel_matches_bucketed(mixture, rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_mask_family_waveform_routing(rng):
+    """The router dispatches the complex-mask specialists in the waveform
+    domain: routed output equals the predicted expert's fused masking."""
+    from audiodenoiser_tpu.eval.ensemble import MixtureOfDenoisers
+    from audiodenoiser_tpu.models import ComplexMaskUNet
+    from audiodenoiser_tpu.models.complex_mask import denoise_waveform
+
+    em = ComplexMaskUNet(dtype=jnp.float32, **THIN)
+    experts = {}
+    for i, nt in enumerate(NOISE_CLASSES):
+        v = jax.jit(lambda k: em.init(k, jnp.zeros((1, 64, 64, 3))))(
+            jax.random.key(i)
+        )
+        experts[nt] = (em, v)
+    router = NoiseClassifier()
+    rp = router.init(jax.random.key(99), jnp.zeros((1, 64, 64, 1)))["params"]
+    mix = MixtureOfDenoisers(experts, rp, router_model=router, family="mask")
+
+    wavs = jnp.asarray(rng.standard_normal((3, 8000)) * 0.1, jnp.float32)
+    labels = np.asarray(mix.classify_waveform(wavs))
+    out = np.asarray(mix.denoise_waveform(wavs))
+    assert out.shape == wavs.shape and np.isfinite(out).all()
+    for i in range(3):
+        want = denoise_waveform(em, mix.expert_vars[labels[i]], wavs[i])
+        np.testing.assert_allclose(out[i], np.asarray(want), atol=1e-5)
+    # spec-level dispatch is magnitude-family only
+    with pytest.raises(ValueError):
+        mix.denoise(jnp.zeros((1, 64, 64, 1)))
+
+
+def test_magnitude_family_waveform_routing(mixture, rng):
+    """denoise_waveform also works for the magnitude family (noisy-phase
+    reconstruction through the routed specialist)."""
+    wavs = jnp.asarray(rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    out = np.asarray(mixture.denoise_waveform(wavs))
+    assert out.shape == wavs.shape and np.isfinite(out).all()
+
+
 def test_a2a_dispatch_matches_bucketed(mixture, rng):
     """all_to_all capacity dispatch (each clip computed by exactly one
     expert device) must equal the host-bucketed routing."""

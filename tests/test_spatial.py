@@ -83,7 +83,7 @@ def test_waveform_sharded_matches_runner_interior(small_model, rng):
 
     model, variables = small_model
     mesh = make_seq_mesh(8)
-    wav = jnp.asarray(rng.standard_normal(2 * 8000) * 0.1, jnp.float32)
+    wav = jnp.asarray(rng.standard_normal(4 * 8000) * 0.1, jnp.float32)
     got = np.asarray(
         denoise_waveform_sharded(model, variables, wav, mesh, halo=96)
     )
@@ -93,6 +93,7 @@ def test_waveform_sharded_matches_runner_interior(small_model, rng):
     )[0]
     # interior: skip RECEPTIVE_RADIUS frames of hop-128 audio on each side
     lo = (RECEPTIVE_RADIUS + 8) * 128
+    assert len(got) - 2 * lo > 4000, "interior slice must be non-trivial"
     np.testing.assert_allclose(got[lo:-lo], want[lo:-lo], atol=2e-4)
 
 
