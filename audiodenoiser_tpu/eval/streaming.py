@@ -39,6 +39,8 @@ class StreamingDenoiser:
         runner: DenoiserRunner,
         chunk_samples: int = 16000,
         sample_rate: int = 8000,
+        mode: str = "noisy_phase",  # per-window reconstruction
+        # ("complex_mask" for a ComplexMaskUNet runner)
     ):
         if chunk_samples % 2:
             raise ValueError("chunk_samples must be even (50% overlap)")
@@ -46,13 +48,14 @@ class StreamingDenoiser:
         self.chunk = chunk_samples
         self.hop = chunk_samples // 2
         self.sample_rate = sample_rate
+        self.mode = mode
         # Hann window sums to 1 at 50% overlap (periodic form)
         self.xfade = jnp.asarray(hann_window(chunk_samples))
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _denoise_window(self, window: jax.Array) -> jax.Array:
         out = self.runner.denoise_audio(
-            window[None, :], jax.random.key(0), mode="noisy_phase"
+            window[None, :], jax.random.key(0), mode=self.mode
         )[0]
         return out * self.xfade
 
@@ -164,3 +167,78 @@ class StreamingSession:
     def flush(self) -> np.ndarray:
         """Pad with silence to flush buffered audio; returns the tail."""
         return self.process(np.zeros(self.p.chunk, np.float32))
+
+
+class RoutedStreamingSession:
+    """Self-routing real-time denoising: the noise router classifies the
+    stream's first full chunk (corruption type is a stream-level property)
+    and locks in that specialist's streaming session for the rest of the
+    stream — specialist quality without the caller naming the noise type,
+    at the cost of one extra chunk of start-up latency while the router
+    listens.
+
+    Works for either specialist family (the router reads magnitudes;
+    magnitude experts stream with noisy-phase reconstruction, mask experts
+    with the fused complex-masking graph).
+    """
+
+    def __init__(
+        self,
+        mixture,  # eval.ensemble.MixtureOfDenoisers
+        chunk_samples: int = 16000,
+        sample_rate: int = 8000,
+        precision: str = "fft",
+    ):
+        self.mixture = mixture
+        self.chunk = chunk_samples
+        self.sample_rate = sample_rate
+        self.precision = precision
+        self._buffer = np.zeros(0, np.float32)
+        self._inner: StreamingSession | None = None
+        self.chosen: str | None = None  # noise-type name once routed
+
+    @property
+    def latency_samples(self) -> int:
+        # one chunk of router listening + the WOLA lookahead
+        return 2 * self.chunk
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if self._inner is not None:
+            return self._inner.process(samples)
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(samples, np.float32).ravel()]
+        )
+        if len(self._buffer) < self.chunk:
+            return np.zeros(0, np.float32)
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+        label = int(np.asarray(
+            self.mixture.classify_waveform(
+                jnp.asarray(self._buffer[: self.chunk])[None]
+            )
+        )[0])
+        self.chosen = NOISE_CLASSES[label]
+        mode = (
+            "complex_mask" if self.mixture.family == "mask" else "noisy_phase"
+        )
+        runner = DenoiserRunner(
+            self.mixture.expert_model,
+            self.mixture.expert_vars[label],
+            n_fft=self.mixture.n_fft,
+            hop_length=self.mixture.hop,
+            precision=self.precision,
+        )
+        self._inner = StreamingDenoiser(
+            runner, self.chunk, self.sample_rate, mode=mode
+        ).session()
+        buffered, self._buffer = self._buffer, np.zeros(0, np.float32)
+        return self._inner.process(buffered)
+
+    def flush(self) -> np.ndarray:
+        if self._inner is None and len(self._buffer):
+            # short stream: force routing on whatever arrived (zero-padded)
+            pad = np.zeros(self.chunk, np.float32)
+            return self.process(pad)
+        if self._inner is None:
+            return np.zeros(0, np.float32)
+        return self._inner.flush()

@@ -99,3 +99,58 @@ class TestOnline:
         for _ in range(5):
             out = sess.process(np.zeros(hop, np.float32))
             assert len(out) == hop
+
+
+class TestRoutedStreaming:
+    @pytest.fixture(scope="class")
+    def routed_parts(self):
+        from audiodenoiser_tpu.eval.ensemble import MixtureOfDenoisers
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES, NoiseClassifier
+
+        model = UNet(features=(4, 8), bottleneck=16, dtype=jnp.float32)
+        experts = {}
+        for i, nt in enumerate(NOISE_CLASSES):
+            v = jax.jit(lambda k: model.init(k, jnp.zeros((1, 64, 64, 1))))(
+                jax.random.key(i)
+            )
+            experts[nt] = (model, v)
+        router = NoiseClassifier()
+        rp = router.init(jax.random.key(7), jnp.zeros((1, 64, 64, 1)))["params"]
+        return MixtureOfDenoisers(experts, rp, router_model=router)
+
+    def test_routed_session_matches_chosen_expert(self, routed_parts, rng):
+        from audiodenoiser_tpu.eval.runner import DenoiserRunner
+        from audiodenoiser_tpu.eval.streaming import (
+            RoutedStreamingSession,
+            StreamingDenoiser,
+        )
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+        x = np.clip(rng.standard_normal(9000) * 0.2, -1, 1).astype(np.float32)
+        sess = RoutedStreamingSession(routed_parts, chunk_samples=2048)
+        pieces = []
+        for piece in np.array_split(x, 9):
+            pieces.append(sess.process(piece))
+        pieces.append(sess.flush())
+        y = np.concatenate(pieces)
+        assert sess.chosen in NOISE_CLASSES
+        # reference: the chosen expert's plain streaming session on the
+        # same stream must produce identical audio
+        label = NOISE_CLASSES.index(sess.chosen)
+        runner = DenoiserRunner(
+            routed_parts.expert_model, routed_parts.expert_vars[label]
+        )
+        ref_sess = StreamingDenoiser(runner, 2048).session()
+        ref_pieces = [ref_sess.process(x), ref_sess.flush()]
+        ref = np.concatenate(ref_pieces)
+        n = min(len(y), len(ref))
+        assert n > 4000
+        np.testing.assert_allclose(y[:n], ref[:n], atol=1e-5)
+
+    def test_nothing_emitted_before_routing_chunk(self, routed_parts):
+        from audiodenoiser_tpu.eval.streaming import RoutedStreamingSession
+
+        sess = RoutedStreamingSession(routed_parts, chunk_samples=2048)
+        assert sess.latency_samples == 4096
+        out = sess.process(np.zeros(2047, np.float32))
+        assert len(out) == 0 and sess.chosen is None
