@@ -118,7 +118,10 @@ def main(argv=None):
         stem = (
             "mask_denoiser" if args.model == "complex_mask" else "unet_denoiser"
         )
-        mixture = load_mixture(args.saved_models_dir, dtype=dtype, stem=stem)
+        mixture = load_mixture(
+            args.saved_models_dir, dtype=dtype, stem=stem,
+            n_fft=args.n_fft, hop_length=args.hop_length,
+        )
         if args.model == "complex_mask":
             # mask experts consume complex STFTs: routed eval runs in the
             # waveform domain over the test wavs (like --model complex_mask

@@ -169,20 +169,11 @@ class MixtureOfDenoisers:
 
         n_fft, hop = self.n_fft, self.hop
         if self.family == "mask":
-            from audiodenoiser_tpu.models.complex_mask import (
-                apply_mask,
-                spectrogram_features,
-            )
+            from audiodenoiser_tpu.models.complex_mask import denoise_waveform
 
             def fwd(v, a):
-                spec = stft_lib.stft(a, n_fft, hop, center=True)
-                mask = self.expert_model.apply(
-                    v, spectrogram_features(spec), train=False
-                )
-                return stft_lib.istft(
-                    apply_mask(mask, spec), hop, n_fft=n_fft, center=True,
-                    length=a.shape[-1],
-                )
+                # the canonical fused masking graph — one implementation
+                return denoise_waveform(self.expert_model, v, a, n_fft, hop)
         else:
 
             def fwd(v, a):
@@ -209,25 +200,32 @@ class MixtureOfDenoisers:
             wavs = wavs[jnp.newaxis]
         if labels is None:
             labels = self.classify_waveform(wavs)
-        labels = np.asarray(labels)
-        wavs_np = np.asarray(wavs)
-        out = np.empty_like(wavs_np)
-        fwd = self._wave_forward()
+        out = jnp.asarray(
+            self._bucketed_dispatch(
+                np.asarray(labels), np.asarray(wavs), self._wave_forward()
+            )
+        )
+        return out[0] if squeeze else out
+
+    def _bucketed_dispatch(self, labels, xs, fwd) -> np.ndarray:
+        """Group rows by routed expert, pad each group to the next power of
+        two (bounded compile set), forward once per expert, scatter back —
+        the shared engine behind spectrogram- and waveform-level routing."""
+        out = np.empty_like(xs)
         for e in range(len(NOISE_CLASSES)):
             idx = np.nonzero(labels == e)[0]
             if idx.size == 0:
                 continue
             padded = _next_pow2(idx.size)
-            sub = wavs_np[idx]
+            sub = xs[idx]
             if padded != idx.size:
                 sub = np.concatenate(
-                    [sub, np.zeros((padded - idx.size, sub.shape[1]),
+                    [sub, np.zeros((padded - idx.size, *sub.shape[1:]),
                                    sub.dtype)]
                 )
             y = fwd(self.expert_vars[e], jnp.asarray(sub))
             out[idx] = np.asarray(y)[: idx.size]
-        out = jnp.asarray(out)
-        return out[0] if squeeze else out
+        return out
 
     def denoise(self, specs: jax.Array, labels=None) -> jax.Array:
         """Host-bucketed routed denoise of magnitude spectrograms: each
@@ -242,25 +240,11 @@ class MixtureOfDenoisers:
             )
         if labels is None:
             labels = self.classify(specs)
-        labels = np.asarray(labels)
-        specs_np = np.asarray(specs)
-        out = np.empty_like(specs_np)
-        for e in range(len(NOISE_CLASSES)):
-            idx = np.nonzero(labels == e)[0]
-            if idx.size == 0:
-                continue
-            # pad the group to the next power of two: at most
-            # log2(max_batch) compiled programs per expert
-            padded = _next_pow2(idx.size)
-            sub = specs_np[idx]
-            if padded != idx.size:
-                sub = np.concatenate(
-                    [sub, np.zeros((padded - idx.size, *sub.shape[1:]),
-                                   sub.dtype)]
-                )
-            y = self._forward(self.expert_vars[e], jnp.asarray(sub))
-            out[idx] = np.asarray(y)[: idx.size]
-        return jnp.asarray(out)
+        return jnp.asarray(
+            self._bucketed_dispatch(
+                np.asarray(labels), np.asarray(specs), self._forward
+            )
+        )
 
     def _ep_program(self, mesh: Mesh):
         """Jitted shard_map + expert-sharded weight placement, cached per
@@ -460,6 +444,8 @@ def load_mixture(
     router_name: str = "noise_router.ckpt",
     expert_model=None,
     stem: str = "unet_denoiser",
+    n_fft: int = 512,
+    hop_length: int = 128,
 ) -> MixtureOfDenoisers:
     """Assemble a MixtureOfDenoisers from a saved_models/ directory holding
     the 4 specialist checkpoints (``{stem}_{nt}.ckpt``; for the magnitude
@@ -499,7 +485,8 @@ def load_mixture(
         )
     family = "mask" if stem == "mask_denoiser" else "magnitude"
     return MixtureOfDenoisers(experts, payload["params"],
-                              router_model=router_model, family=family)
+                              router_model=router_model, family=family,
+                              n_fft=n_fft, hop_length=hop_length)
 
 
 def evaluate_routed_waveform(
@@ -550,11 +537,13 @@ def evaluate_routed_waveform(
             if (bank is not None and nt == "urban")
             else jnp.zeros_like(clean)
         )
-        noisy, _, _ = _corrupt_and_featurize(
+        noisy, _, noisy_mag = _corrupt_and_featurize(
             k_mix, clean, segs, nt, mixture.n_fft, mixture.hop, True,
             sample_rate, snr_db, reverb_wet_level,
         )
-        pred = np.asarray(mixture.classify_waveform(noisy))
+        # the corrupt step already featurized the noisy batch — classify
+        # on that magnitude instead of re-STFTing inside classify_waveform
+        pred = np.asarray(mixture.classify(noisy_mag[..., None]))
         acc = float(np.mean(pred == NOISE_CLASSES.index(nt)))
         den = mixture.denoise_waveform(noisy, labels=pred)
         sdr_noisy = float(jnp.mean(si_sdr(noisy, clean)))

@@ -197,6 +197,31 @@ class RoutedStreamingSession:
         self._inner: StreamingSession | None = None
         self.chosen: str | None = None  # noise-type name once routed
 
+    def _streamer_for(self, label: int) -> StreamingDenoiser:
+        """One StreamingDenoiser per (expert, chunk, precision), cached on
+        the mixture so every stream after the first that routes to the same
+        specialist reuses the already-traced/compiled streaming graph
+        (StreamingDenoiser's jits are keyed on instance identity)."""
+        cache = getattr(self.mixture, "_stream_cache", None)
+        if cache is None:
+            cache = self.mixture._stream_cache = {}
+        mode = (
+            "complex_mask" if self.mixture.family == "mask" else "noisy_phase"
+        )
+        key = (label, self.chunk, self.sample_rate, self.precision, mode)
+        if key not in cache:
+            runner = DenoiserRunner(
+                self.mixture.expert_model,
+                self.mixture.expert_vars[label],
+                n_fft=self.mixture.n_fft,
+                hop_length=self.mixture.hop,
+                precision=self.precision,
+            )
+            cache[key] = StreamingDenoiser(
+                runner, self.chunk, self.sample_rate, mode=mode
+            )
+        return cache[key]
+
     @property
     def latency_samples(self) -> int:
         # one chunk of router listening + the WOLA lookahead
@@ -218,19 +243,7 @@ class RoutedStreamingSession:
             )
         )[0])
         self.chosen = NOISE_CLASSES[label]
-        mode = (
-            "complex_mask" if self.mixture.family == "mask" else "noisy_phase"
-        )
-        runner = DenoiserRunner(
-            self.mixture.expert_model,
-            self.mixture.expert_vars[label],
-            n_fft=self.mixture.n_fft,
-            hop_length=self.mixture.hop,
-            precision=self.precision,
-        )
-        self._inner = StreamingDenoiser(
-            runner, self.chunk, self.sample_rate, mode=mode
-        ).session()
+        self._inner = self._streamer_for(label).session()
         buffered, self._buffer = self._buffer, np.zeros(0, np.float32)
         return self._inner.process(buffered)
 

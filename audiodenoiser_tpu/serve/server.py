@@ -191,9 +191,10 @@ class DenoiseService:
         device call, then forward each predicted-expert group through its
         specialist runner (noisy-phase reconstruction)."""
         # classify the pow-2-padded rows: one compiled classify program per
-        # bucket like the denoise path (padded rows' labels are discarded)
+        # bucket like the denoise path (padded rows' labels are discarded —
+        # only real rows' labels may spawn an expert dispatch)
         labels = np.asarray(self._classify(jax.numpy.asarray(stacked)))
-        for lab in sorted(set(labels.tolist())):
+        for lab in sorted(set(labels[: len(batch)].tolist())):
             idx = [i for i in range(len(batch)) if labels[i] == lab]
             b_pad = _pow2_batch(len(idx), self.max_batch)
             sub = np.zeros((b_pad, stacked.shape[1]), np.float32)
