@@ -105,7 +105,8 @@ def main(argv=None):
         from audiodenoiser_tpu.models.router import NOISE_CLASSES
 
         mixture = load_mixture(args.saved_models_dir, dtype=dtype, stem=stem)
-        router = (mixture.router_model, mixture.router_params)
+        router = (mixture.router_model, mixture.router_params,
+                  mixture.router_window)
         expert_runners = {
             i: DenoiserRunner(
                 mixture.expert_model, mixture.expert_vars[i],

@@ -106,6 +106,15 @@ def main(argv=None):
     results = {}
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     if args.auto_route:
+        if args.mesh == "on" or args.model_parallel > 1:
+            # routed eval shards over its own ('data','expert') mesh when
+            # >=4 devices are visible; a ('data','model') TP mesh does not
+            # apply to it — error instead of silently ignoring the flags
+            # (ADVICE r2)
+            raise SystemExit(
+                "--auto_route builds its own expert-parallel mesh and does "
+                "not honor --mesh on/--model_parallel; drop those flags"
+            )
         import jax
 
         from audiodenoiser_tpu.eval.ensemble import (

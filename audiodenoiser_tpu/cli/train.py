@@ -336,13 +336,22 @@ def main(argv=None):
                 key=jax.random.key(args.seed),
             )
         print(f"Router held-out accuracy: {acc:.3f}")
+        import json
+
+        def export_router(path):
+            export_model(path, jax.device_get(state.params), {})
+            # record the training crop so windowed eval scoring matches a
+            # non-default target_size (load_mixture reads this sidecar)
+            with open(os.path.splitext(path)[0] + ".json", "w") as f:
+                json.dump({"window": list(mixer.cfg["target_size"])}, f)
+
         run_dir = os.path.join(args.output_path, args.run_name)
         best = os.path.join(run_dir, "checkpoints", "noise_router.ckpt")
-        export_model(best, jax.device_get(state.params), {})
+        export_router(best)
         if args.export_dir:
             os.makedirs(args.export_dir, exist_ok=True)
             dst = os.path.join(args.export_dir, "noise_router.ckpt")
-            export_model(dst, jax.device_get(state.params), {})
+            export_router(dst)
             print(f"Exported router to {dst}")
         return {"best_path": best, "router_accuracy": acc}
 

@@ -20,6 +20,23 @@ import time
 def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase",
               pipelined: bool = True) -> dict:
+    """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
+    smaller-HBM devices/backends the default must degrade instead of
+    crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
+    while True:
+        try:
+            return _run_bench_once(batch_size, clip_seconds, iters, warmup,
+                                   mode, pipelined)
+        except Exception as e:
+            oom = "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+            if not oom or batch_size <= 32:
+                raise
+            batch_size //= 2
+            print(f"# bench OOM; retrying at batch_size={batch_size}")
+
+
+def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
+                    warmup: int, mode: str, pipelined: bool) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np

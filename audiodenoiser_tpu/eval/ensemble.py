@@ -52,17 +52,21 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def windowed_logits(router_model, params, specs: jax.Array) -> jax.Array:
+def windowed_logits(router_model, params, specs: jax.Array,
+                    window: tuple[int, int] = (256, 64)) -> jax.Array:
     """Router logits matched to the TRAINING distribution: the router
-    learns on (256, 64) center=False crops (OnDeviceMixer), but eval/serve
-    spectrograms arrive as (257, T) center=True wholes — crop frequency to
-    256 and average logits over consecutive 64-frame windows (test-time
+    learns on ``window``-shaped center=False crops (the OnDeviceMixer
+    target_size, (256, 64) by default), but eval/serve spectrograms arrive
+    as (257, T) center=True wholes — crop frequency to the training height
+    and average logits over consecutive training-width windows (test-time
     majority vote). Measured on the v5e workflow test sets: mean accuracy
     0.84 raw whole-clip -> 0.97 windowed (urban 0.75 -> 1.00,
     noise_cancellation 0.625 -> 0.875). Traceable: callers may use it
-    inside their own jit."""
+    inside their own jit. A router trained with a non-default target_size
+    records it in the ``noise_router.json`` sidecar, which ``load_mixture``
+    plumbs back here (ADVICE r2)."""
     b, f, t, c = specs.shape
-    fw, tw = 256, 64
+    fw, tw = window
     x = specs[:, : min(f, fw), :, :]
     if x.shape[1] < fw:
         x = jnp.pad(x, ((0, 0), (0, fw - x.shape[1]), (0, 0), (0, 0)))
@@ -95,6 +99,7 @@ class MixtureOfDenoisers:
         family: str = "magnitude",  # "magnitude" | "mask"
         n_fft: int = 512,
         hop_length: int = 128,
+        router_window: tuple[int, int] = (256, 64),
     ):
         missing = [nt for nt in NOISE_CLASSES if nt not in experts]
         if missing:
@@ -106,6 +111,7 @@ class MixtureOfDenoisers:
         self.hop = hop_length
         self.router_model = router_model or NoiseClassifier()
         self.router_params = router_params
+        self.router_window = tuple(router_window)
         self.expert_model = experts[NOISE_CLASSES[0]][0]
         self.expert_vars = [experts[nt][1] for nt in NOISE_CLASSES]
         self._stacked = None  # built lazily: only the EP path pays for it
@@ -114,7 +120,9 @@ class MixtureOfDenoisers:
             lambda p, x: jnp.argmax(self.router_model.apply({"params": p}, x), -1)
         )
         self._classify_windowed = jax.jit(
-            lambda p, x: jnp.argmax(windowed_logits(self.router_model, p, x), -1)
+            lambda p, x: jnp.argmax(
+                windowed_logits(self.router_model, p, x, self.router_window), -1
+            )
         )
         self._forward = jax.jit(
             lambda v, x: self.expert_model.apply(v, x, train=False)
@@ -148,12 +156,14 @@ class MixtureOfDenoisers:
             import audiodenoiser_tpu.dsp.stft as stft_lib
 
             n_fft, hop = self.n_fft, self.hop
+            window = self.router_window
 
             @jax.jit
             def cw(p, a):
                 mag = jnp.abs(stft_lib.stft(a, n_fft, hop, center=True))
                 return jnp.argmax(
-                    windowed_logits(self.router_model, p, mag[..., None]), -1
+                    windowed_logits(self.router_model, p, mag[..., None],
+                                    window), -1
                 )
 
             self._classify_wave = cw
@@ -478,6 +488,17 @@ def load_mixture(
     )
     payload = load_exported(router_path, {"params": template["params"],
                                           "batch_stats": {}})
+    # router training target_size sidecar (cli.train --model router writes
+    # it): a router trained on a non-default crop must be scored on
+    # matching windows (ADVICE r2)
+    router_window = (256, 64)
+    sidecar = os.path.splitext(router_path)[0] + ".json"
+    if os.path.exists(sidecar):
+        import json
+
+        with open(sidecar) as f:
+            meta = json.load(f)
+        router_window = tuple(meta.get("window", router_window))
     experts = {}
     for nt in NOISE_CLASSES:
         experts[nt] = load_model_for_noise(
@@ -486,7 +507,8 @@ def load_mixture(
     family = "mask" if stem == "mask_denoiser" else "magnitude"
     return MixtureOfDenoisers(experts, payload["params"],
                               router_model=router_model, family=family,
-                              n_fft=n_fft, hop_length=hop_length)
+                              n_fft=n_fft, hop_length=hop_length,
+                              router_window=router_window)
 
 
 def evaluate_routed_waveform(

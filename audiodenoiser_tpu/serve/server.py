@@ -87,7 +87,10 @@ class DenoiseService:
         self.expert_runners = expert_runners
         self.auto_expert_mode = auto_expert_mode
         if router is not None and expert_runners is not None:
-            router_model, router_params = router
+            # (model, params) or (model, params, window): the optional
+            # window is the router's training crop (ADVICE r2)
+            router_model, router_params = router[0], router[1]
+            router_window = tuple(router[2]) if len(router) > 2 else (256, 64)
             import jax.numpy as jnp
 
             import audiodenoiser_tpu.dsp.stft as stft_lib
@@ -104,7 +107,7 @@ class DenoiseService:
                 # classification loses ~13% accuracy to the train/serve
                 # feature-distribution shift (eval/ensemble.windowed_logits)
                 logits = windowed_logits(
-                    router_model, router_params, mag[..., None]
+                    router_model, router_params, mag[..., None], router_window
                 )
                 return jnp.argmax(logits, -1)
 

@@ -79,3 +79,14 @@ def save_train_state(ckpt_dir: str, state_tree: Any) -> None:
 def restore_train_state(ckpt_dir: str, template: Any) -> Any:
     checkpointer = ocp.StandardCheckpointer()
     return checkpointer.restore(os.path.abspath(ckpt_dir), template)
+
+
+def saved_keys(ckpt_dir: str) -> set[str]:
+    """Top-level keys of a saved train-state checkpoint (from orbax
+    metadata, no tensor reads) — lets resume pick the right template
+    (EMA vs plain layout) by inspection instead of try/except-all."""
+    meta = ocp.StandardCheckpointer().metadata(os.path.abspath(ckpt_dir))
+    tree = getattr(meta, "item_metadata", None) or getattr(meta, "tree", meta)
+    if hasattr(tree, "tree"):
+        tree = tree.tree
+    return set(tree.keys())

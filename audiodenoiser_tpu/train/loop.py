@@ -302,13 +302,11 @@ def fit(
                 template["best_ema_val"] = 0.0
             return ckpt_lib.restore_train_state(resume_dir, template)
 
-        # checkpoints written with --ema_decay carry the EMA average; try
-        # that layout first so resume does not silently reset it (and a
-        # pre-EMA checkpoint still restores via the plain layout)
-        try:
-            restored = try_restore(True)
-        except Exception:
-            restored = try_restore(False)
+        # checkpoints written with --ema_decay carry the EMA average; pick
+        # the matching template by inspecting the checkpoint's saved keys
+        # (orbax metadata) so a genuine restore failure surfaces instead of
+        # being swallowed by a blanket fallback (ADVICE r2)
+        restored = try_restore("ema" in ckpt_lib.saved_keys(resume_dir))
         state = restored["state"]
         if mesh is not None:
             state = shard_train_state(state, mesh, fsdp=config.fsdp)
@@ -329,6 +327,8 @@ def fit(
 
     logger.info("--- Starting Training Loop ---")
     history = []
+    global_step = 0
+    log_t0 = time.perf_counter()
     for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
         train_losses = []
@@ -337,6 +337,21 @@ def fit(
             train_losses.append(losses)
             if ema_params is not None:
                 ema_params = _ema_update(ema_params, state.params, ema_decay)
+            global_step += 1
+            if config.log_every and global_step % config.log_every == 0:
+                # intra-epoch progress (the reference shows a tqdm bar per
+                # batch, train.py:64,82): running loss + steps/s every
+                # log_every steps. float() fetch doubles as the only host
+                # sync in the hot loop.
+                now = time.perf_counter()
+                sps = config.log_every / max(now - log_t0, 1e-9)
+                log_t0 = now
+                running = float(losses.total)
+                writer.add_scalar("Loss/train_batch", running, global_step)
+                logger.info(
+                    f"  step {global_step} (epoch {epoch + 1}) | "
+                    f"loss {running:.6f} | {sps:.1f} steps/s"
+                )
         train_loss = _epoch_mean(train_losses)
         writer.add_scalar("Loss/train", train_loss, epoch)
 
