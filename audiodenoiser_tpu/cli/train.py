@@ -126,6 +126,20 @@ def parse_args(argv=None):
     )
     ext.add_argument("--snr_max", type=float, default=None)
     ext.add_argument(
+        "--si_sdr_weight", type=float, default=None,
+        help="complex_mask family: weight of the negative-SI-SDR waveform "
+        "term in the training objective (default 0.5 — train on the metric "
+        "the eval gate scores; 0 restores the spectral-only objective).",
+    )
+    ext.add_argument(
+        "--mask_bound", type=float, default=None,
+        help="complex_mask family: tanh bound K of the complex ratio mask "
+        "(|Mr|,|Mi| <= K). Default 2.0, except 8.0 for noise_cancellation "
+        "— undoing its 0.2x amplitude attenuation needs ~5x gain, which a "
+        "bound-2 mask cannot express. Recorded in the checkpoint sidecar "
+        "so eval rebuilds the same head.",
+    )
+    ext.add_argument(
         "--profile_dir", type=str, default=None,
         help="Capture a jax.profiler trace of the run into this directory.",
     )
@@ -359,28 +373,36 @@ def main(argv=None):
         cfg.total_steps = args.epochs * steps_per_epoch
 
     fit_kwargs = {}
+    mask_meta = None
     if args.model == "complex_mask":
         import jax.numpy as jnp
 
         from audiodenoiser_tpu.models.complex_mask import ComplexMaskUNet
         from audiodenoiser_tpu.train.mask import (
             create_mask_train_state,
-            mask_eval_step,
-            mask_train_step,
+            make_mask_steps,
         )
 
+        # per-type defaults (VERDICT r2 weak #1): train on the deployed
+        # SI-SDR metric, and give the noise_cancellation specialist a mask
+        # bound wide enough to invert its 0.2x attenuation
+        si_w = 0.5 if args.si_sdr_weight is None else args.si_sdr_weight
+        bound = args.mask_bound
+        if bound is None:
+            bound = 8.0 if args.noise_type == "noise_cancellation" else 2.0
+        mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w}
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
-                ComplexMaskUNet(dtype=dtype),
+                ComplexMaskUNet(dtype=dtype, mask_bound=bound),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
                 warmup_steps=args.warmup_steps,
                 total_steps=cfg.total_steps,
                 grad_accum=args.grad_accum,
             ),
-            steps=(mask_train_step, mask_eval_step),
+            steps=make_mask_steps(si_w),
         )
 
     with maybe_trace(args.profile_dir):
@@ -392,6 +414,12 @@ def main(argv=None):
         os.makedirs(args.export_dir, exist_ok=True)
         stem = "unet_denoiser" if args.model == "unet" else "mask_denoiser"
         dst = os.path.join(args.export_dir, f"{stem}_{args.noise_type}.ckpt")
+        if mask_meta is not None:
+            # sidecar: mask-head hyperparameters eval must rebuild with
+            import json
+
+            with open(os.path.splitext(dst)[0] + ".json", "w") as f:
+                json.dump(mask_meta, f)
         if os.path.exists(result["best_path"]):
             if args.export_quantized:
                 from audiodenoiser_tpu.train.checkpoints import (

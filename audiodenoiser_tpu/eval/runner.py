@@ -79,7 +79,19 @@ def load_model_for_noise(
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 
-            model = ComplexMaskUNet(dtype=dtype)
+            # sidecar written by cli.train: the mask bound is a head
+            # hyperparameter the checkpoint alone cannot convey (the
+            # noise_cancellation specialist trains with a wider bound)
+            kwargs = {}
+            sidecar = os.path.splitext(path)[0] + ".json"
+            if os.path.exists(sidecar):
+                import json
+
+                with open(sidecar) as f:
+                    kwargs["mask_bound"] = float(
+                        json.load(f).get("mask_bound", 2.0)
+                    )
+            model = ComplexMaskUNet(dtype=dtype, **kwargs)
         else:
             model = UNet(dtype=dtype)
     in_ch = 3 if stem == "mask_denoiser" else 1

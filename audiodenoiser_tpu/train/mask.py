@@ -9,7 +9,15 @@ model trains against exactly the spectra it will see at inference.
 Loss: the reference's combined perceptual loss on |S_hat| vs |S_clean|
 (keeping metrics comparable across model families) plus a waveform L1 term
 — the mask model corrects phase, so a time-domain term is finally
-meaningful (the magnitude model cannot use one).
+meaningful (the magnitude model cannot use one) — plus an optional
+**negative-SI-SDR term** (``make_mask_steps(si_sdr_weight=...)``): the
+waveform-domain eval gate scores true SI-SDR against the clean signal, and
+round-2 measurement showed the spectral loss alone *mis-optimizes* that
+metric on corruptions whose "noisy" input is strongly clean-correlated
+(noise_cancellation is amplitude modulation: 29 dB noisy SI-SDR dropped to
+14 dB after spectral-only mask training). Training directly on the
+deployment metric — the Conv-TasNet-style SI-SNR objective — removes the
+loss/metric mismatch (VERDICT r2 weak #1).
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ import jax.numpy as jnp
 import optax
 
 import audiodenoiser_tpu.dsp.stft as stft_lib
+from audiodenoiser_tpu.eval.metrics import si_sdr
 from audiodenoiser_tpu.losses import combined_perceptual_loss
 from audiodenoiser_tpu.models.complex_mask import (
     ComplexMaskUNet,
@@ -30,6 +39,10 @@ from audiodenoiser_tpu.models.complex_mask import (
 from audiodenoiser_tpu.train.loop import TrainState, make_optimizer
 
 WAVEFORM_L1_WEIGHT = 0.5
+# -SI-SDR enters the total as si_sdr_weight * (-si_sdr_db / SI_SDR_SCALE):
+# typical SI-SDR magnitudes are O(10) dB while the spectral total is O(0.1),
+# so /20 puts a unit weight in the same regime as the other terms
+SI_SDR_SCALE = 20.0
 N_FFT = 512
 HOP = 128
 
@@ -59,7 +72,8 @@ def create_mask_train_state(
     )
 
 
-def _mask_losses(state: TrainState, params, noisy_audio, clean_audio, train: bool):
+def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
+                 train: bool, si_sdr_weight: float = 0.0):
     # center=True everywhere: inference (models/complex_mask.denoise_waveform,
     # eval/runner complex_mask mode) uses center=True, so training must see
     # the same edge-frame statistics.
@@ -84,36 +98,54 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio, train: boo
     )
     wav_l1 = jnp.mean(jnp.abs(y_hat - clean_audio))
     total = losses.total + WAVEFORM_L1_WEIGHT * wav_l1
+    if si_sdr_weight:
+        # maximize mean SI-SDR of the reconstruction (float32 accumulation:
+        # the projection/ratio arithmetic is precision-sensitive)
+        sdr = si_sdr(y_hat.astype(jnp.float32), clean_audio.astype(jnp.float32))
+        total = total - si_sdr_weight * jnp.mean(sdr) / SI_SDR_SCALE
     return total, losses._replace(total=total), new_bs
 
 
-@partial(jax.jit, donate_argnums=0)
-def mask_train_step(state: TrainState, noisy_audio: jax.Array, clean_audio: jax.Array):
-    def loss_fn(params):
-        total, losses, new_bs = _mask_losses(
-            state, params, noisy_audio, clean_audio, train=True
+def make_mask_steps(si_sdr_weight: float = 0.0):
+    """Build (train_step, eval_step) jitted closures for the mask family
+    with the given -SI-SDR weight. Both steps report the SAME total the
+    optimizer sees, so best-val checkpoint selection tracks the deployed
+    objective."""
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, noisy_audio, clean_audio):
+        def loss_fn(params):
+            total, losses, new_bs = _mask_losses(
+                state, params, noisy_audio, clean_audio, train=True,
+                si_sdr_weight=si_sdr_weight,
+            )
+            return total, (losses, new_bs)
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            losses,
         )
-        return total, (losses, new_bs)
 
-    (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
-    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return (
-        state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
-        ),
-        losses,
-    )
+    @jax.jit
+    def eval_step(state: TrainState, noisy_audio, clean_audio):
+        _, losses, _ = _mask_losses(
+            state, state.params, noisy_audio, clean_audio, train=False,
+            si_sdr_weight=si_sdr_weight,
+        )
+        return losses
+
+    return train_step, eval_step
 
 
-@jax.jit
-def mask_eval_step(state: TrainState, noisy_audio: jax.Array, clean_audio: jax.Array):
-    _, losses, _ = _mask_losses(
-        state, state.params, noisy_audio, clean_audio, train=False
-    )
-    return losses
+# spectral-only default steps (si_sdr_weight=0): the round-2 objective
+mask_train_step, mask_eval_step = make_mask_steps(0.0)
