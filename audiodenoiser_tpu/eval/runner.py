@@ -35,7 +35,7 @@ import numpy as np
 
 import audiodenoiser_tpu.dsp.stft as stft_lib
 from audiodenoiser_tpu.dsp.griffin_lim import griffin_lim
-from audiodenoiser_tpu.eval.metrics import si_sdr, stoi
+from audiodenoiser_tpu.eval.metrics import pesq, si_sdr, stoi
 from audiodenoiser_tpu.losses import combined_perceptual_loss
 from audiodenoiser_tpu.models import UNet
 from audiodenoiser_tpu.train.checkpoints import load_exported
@@ -401,6 +401,22 @@ def test_single_noise_type(
             f"{metrics['si_sdr_noisy_input']:.3f} -> "
             f"{metrics['si_sdr_noisy_phase']:.3f} dB"
         )
+        try:
+            metrics["pesq_noisy_input"] = float(np.mean([
+                pesq(clean_audio_true[i], noisy_audio[i], sample_rate)
+                for i in range(clean_audio_true.shape[0])
+            ]))
+            metrics["pesq_noisy_phase"] = float(np.mean([
+                pesq(clean_audio_true[i], recon[i], sample_rate)
+                for i in range(clean_audio_true.shape[0])
+            ]))
+            print(
+                f"PESQ (noisy-phase recon vs clean waveform): "
+                f"{metrics['pesq_noisy_input']:.3f} -> "
+                f"{metrics['pesq_noisy_phase']:.3f}"
+            )
+        except ValueError as e:
+            print(f"PESQ skipped: {e}")
 
     with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
         f.write(f"Perceptual metrics for noise type '{noise_type}':\n")
@@ -421,6 +437,14 @@ def test_single_noise_type(
             f.write(
                 f"SI-SDR (noisy-phase recon): "
                 f"{metrics['si_sdr_noisy_phase']:.3f} dB\n"
+            )
+        if "pesq_noisy_phase" in metrics:
+            f.write(
+                f"PESQ (noisy input): {metrics['pesq_noisy_input']:.3f}\n"
+            )
+            f.write(
+                f"PESQ (noisy-phase recon): "
+                f"{metrics['pesq_noisy_phase']:.3f}\n"
             )
 
     # denoised reconstructions (test.py:141-148)
@@ -531,6 +555,22 @@ def test_noise_type_waveform(
         )
     except ValueError as e:  # clips too short/silent for the 384 ms segments
         print(f"STOI skipped: {e}")
+    try:
+        clean_np = np.asarray(clean)
+        metrics["pesq_noisy"] = float(np.mean([
+            pesq(clean_np[i], np.asarray(noisy_audio)[i], sample_rate)
+            for i in range(clean_np.shape[0])
+        ]))
+        metrics["pesq"] = float(np.mean([
+            pesq(clean_np[i], np.asarray(den_audio)[i], sample_rate)
+            for i in range(clean_np.shape[0])
+        ]))
+        print(
+            f"PESQ: {metrics['pesq_noisy']:.3f} (noisy) -> "
+            f"{metrics['pesq']:.3f} (denoised)"
+        )
+    except ValueError as e:  # clips shorter than the 64 ms minimum
+        print(f"PESQ skipped: {e}")
 
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
@@ -544,6 +584,9 @@ def test_noise_type_waveform(
         if "stoi" in metrics:
             f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
             f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
+        if "pesq" in metrics:
+            f.write(f"PESQ noisy: {metrics['pesq_noisy']:.3f}\n")
+            f.write(f"PESQ denoised: {metrics['pesq']:.3f}\n")
     k = min(num_audio_examples, clean.shape[0])
     noisy_np, den_np = np.asarray(noisy_audio), np.asarray(den_audio)
     for i in range(k):

@@ -103,6 +103,83 @@ class TestStoi:
             stoi(x, x, 8000)
 
 
+class TestPesq:
+    """Properties of the aligned-input P.862 implementation (VERDICT r2
+    next-round #3). Same validation style as STOI: fixed points, the
+    published P.862.1 mapping curve, monotonic degradation with SNR."""
+
+    @staticmethod
+    def _speechlike(rng, seconds=4.0, fs=8000):
+        t = np.arange(int(seconds * fs)) / fs
+        return rng.standard_normal(len(t)) * (
+            0.55 + 0.45 * np.sin(2 * np.pi * 3 * t)
+        )
+
+    def test_identical_signals_score_max(self, rng):
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        x = self._speechlike(rng)
+        assert pesq(x, x, 8000) == pytest.approx(4.5, abs=1e-6)
+
+    def test_level_invariance(self, rng):
+        """The level-alignment stage removes global gain differences."""
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        x = self._speechlike(rng)
+        assert pesq(x, 0.25 * x, 8000) == pytest.approx(4.5, abs=0.05)
+
+    def test_monotonic_in_snr(self, rng):
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        x = self._speechlike(rng)
+        scores = []
+        for snr in [40, 20, 10, 0]:
+            n = rng.standard_normal(len(x))
+            n *= np.linalg.norm(x) / np.linalg.norm(n) / 10 ** (snr / 20)
+            scores.append(pesq(x, x + n, 8000))
+        assert scores == sorted(scores, reverse=True)
+        # published PESQ-vs-SNR anchors for additive white noise on a
+        # speech-shaped signal: ~3.4 @40 dB, ~2.3 @20 dB, ~1.3 @0 dB
+        # (the calibration constants in eval/metrics.py are fit to these)
+        assert scores[0] == pytest.approx(3.4, abs=0.35)
+        assert scores[1] == pytest.approx(2.3, abs=0.35)
+        assert scores[3] == pytest.approx(1.3, abs=0.35)
+        assert all(-0.5 <= s <= 4.5 for s in scores)
+
+    def test_mos_lqo_published_curve(self):
+        """The P.862.1 coefficients (-1.4945, 4.6607, 0.999..4.999) are the
+        published mapping; pin its curve values."""
+        from audiodenoiser_tpu.eval.metrics import pesq_mos_lqo
+
+        assert pesq_mos_lqo(4.5) == pytest.approx(4.5487, abs=1e-3)
+        assert pesq_mos_lqo(1.0) == pytest.approx(1.1608, abs=1e-3)
+        # monotone sigmoid between the clamps
+        xs = np.linspace(-0.5, 4.5, 21)
+        ys = [pesq_mos_lqo(x) for x in xs]
+        assert all(b > a for a, b in zip(ys, ys[1:]))
+
+    def test_resampling_path(self, rng):
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        t = np.arange(64000) / 16000
+        x = rng.standard_normal(len(t)) * (
+            0.55 + 0.45 * np.sin(2 * np.pi * 3 * t)
+        )
+        assert pesq(x, x, 16000) == pytest.approx(4.5, abs=1e-6)
+
+    def test_shape_mismatch_raises(self, rng):
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        with pytest.raises(ValueError, match="shape mismatch"):
+            pesq(rng.standard_normal(8000), rng.standard_normal(8001), 8000)
+
+    def test_too_short_raises(self, rng):
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        with pytest.raises(ValueError, match="64 ms"):
+            pesq(np.zeros(400), np.zeros(400), 8000)
+
+
 @pytest.fixture(scope="module")
 def tiny_runner():
     model = UNet(features=(4, 8), bottleneck=16)
