@@ -12,9 +12,17 @@ from audiodenoiser_tpu.parallel.spatial import (
     make_seq_mesh,
 )
 from audiodenoiser_tpu.parallel.pipeline import PipelinedDenoiser, make_stages
+from audiodenoiser_tpu.parallel.pipeline_train import (
+    PipelineTrainer,
+    PipeTrainState,
+    schedule_1f1b,
+)
 
 __all__ = [
     "PipelinedDenoiser",
+    "PipelineTrainer",
+    "PipeTrainState",
+    "schedule_1f1b",
     "make_stages",
     "RECEPTIVE_RADIUS",
     "denoise_spec_sharded",
