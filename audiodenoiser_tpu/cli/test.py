@@ -58,6 +58,13 @@ def parse_args(argv=None):
         "model selection needed (reports routing accuracy per type).",
     )
     p.add_argument(
+        "--ep", choices=["auto", "dense", "off"], default="auto",
+        help="--auto_route expert dispatch when >=4 devices are visible: "
+        "auto = capacity-based all_to_all routed compute (each clip "
+        "forwarded exactly once, on-device overflow passes); dense = "
+        "every-expert-computes one-hot psum; off = host-bucketed.",
+    )
+    p.add_argument(
         "--mesh", choices=["auto", "on", "off"], default="auto",
         help="auto: shard eval batches over a ('data','model') device mesh "
         "iff >1 device is visible; on: force; off: single device. Same "
@@ -140,10 +147,18 @@ def main(argv=None):
                 noise_types=args.noise_types, sample_rate=args.sample_rate,
                 seed=args.seed,
             )
+        from audiodenoiser_tpu.eval.ensemble import make_a2a_mesh
+
         ep_mesh = None
-        if jax.device_count() % 4 == 0 and jax.device_count() >= 4:
-            ep_mesh = make_ep_mesh()
-            print(f"Expert-parallel mesh: {dict(ep_mesh.shape)}")
+        if args.ep != "off" and jax.device_count() >= 4:
+            if args.ep == "dense":
+                if jax.device_count() % 4 == 0:
+                    ep_mesh = make_ep_mesh()
+            else:  # auto: routed all_to_all compute is the default
+                ep_mesh = make_a2a_mesh()
+            if ep_mesh is not None:
+                print(f"Expert-parallel mesh: {dict(ep_mesh.shape)} "
+                      f"({'dense' if args.ep == 'dense' else 'a2a'})")
         return evaluate_routed(
             mixture, args.test_data_dir, args.output_dir,
             noise_types=args.noise_types, ep_mesh=ep_mesh,
