@@ -140,6 +140,13 @@ def parse_args(argv=None):
         "so eval rebuilds the same head.",
     )
     ext.add_argument(
+        "--mask_residual", choices=["on", "off"], default="on",
+        help="complex_mask family: parametrize the mask as identity + "
+        "bounded deviation (M = 1 + K tanh(out)), so untouched audio "
+        "passes through exactly at init and identity preservation is the "
+        "easy direction. Recorded in the sidecar.",
+    )
+    ext.add_argument(
         "--profile_dir", type=str, default=None,
         help="Capture a jax.profiler trace of the run into this directory.",
     )
@@ -390,12 +397,15 @@ def main(argv=None):
         bound = args.mask_bound
         if bound is None:
             bound = 8.0 if args.noise_type == "noise_cancellation" else 2.0
-        mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w}
+        residual = args.mask_residual == "on"
+        mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w,
+                     "residual": residual}
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
-                ComplexMaskUNet(dtype=dtype, mask_bound=bound),
+                ComplexMaskUNet(dtype=dtype, mask_bound=bound,
+                                residual=residual),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
                 warmup_steps=args.warmup_steps,

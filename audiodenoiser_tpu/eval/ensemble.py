@@ -187,6 +187,12 @@ class MixtureOfDenoisers:
         else:
 
             def fwd(v, a):
+                # hop-align so the istft covers every real sample (the
+                # center-STFT round trip drops the last n mod hop samples)
+                n = a.shape[-1]
+                rem = (-n) % hop
+                if rem:
+                    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, rem)])
                 spec = stft_lib.stft(a, n_fft, hop, center=True)
                 mag, phase = stft_lib.magphase(spec)
                 den = self.expert_model.apply(
@@ -195,7 +201,7 @@ class MixtureOfDenoisers:
                 rec = jnp.maximum(den, 0.0).astype(jnp.complex64) * phase
                 return stft_lib.istft(
                     rec, hop, n_fft=n_fft, center=True, length=a.shape[-1]
-                )
+                )[..., :n]
 
         self._wave_fwd = jax.jit(fwd)
         return self._wave_fwd

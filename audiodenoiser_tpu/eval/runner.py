@@ -88,9 +88,9 @@ def load_model_for_noise(
                 import json
 
                 with open(sidecar) as f:
-                    kwargs["mask_bound"] = float(
-                        json.load(f).get("mask_bound", 2.0)
-                    )
+                    meta = json.load(f)
+                kwargs["mask_bound"] = float(meta.get("mask_bound", 2.0))
+                kwargs["residual"] = bool(meta.get("residual", False))
             model = ComplexMaskUNet(dtype=dtype, **kwargs)
         else:
             model = UNet(dtype=dtype)
@@ -165,15 +165,28 @@ class DenoiserRunner:
         gl_iters: int = 50,
         center: bool = True,
     ) -> jax.Array:
-        """Fused STFT -> U-Net -> reconstruction, one compiled graph."""
+        """Fused STFT -> U-Net -> reconstruction, one compiled graph.
+
+        Inputs are zero-padded up to a hop multiple before the STFT: the
+        iSTFT of a center=True STFT only reconstructs ``floor(n/hop)*hop``
+        samples (librosa semantics), so without alignment the final
+        ``n mod hop`` output samples would be silent — a ~21-26 dB
+        SI-SDR ceiling on typical clips, measured in round 3."""
+        n = audio.shape[-1]
+        rem = (-n) % self.hop
+        if rem and center:
+            pads = [(0, 0)] * (audio.ndim - 1) + [(0, rem)]
+            audio = jnp.pad(audio, pads)
         if self.mesh is None or audio.ndim < 2:
-            return self._denoise_audio(
+            out = self._denoise_audio(
                 audio, key, mode=mode, gl_iters=gl_iters, center=center
             )
-        x, n = self._pad_and_shard(audio)
-        return self._denoise_audio(
-            x, key, mode=mode, gl_iters=gl_iters, center=center
-        )[:n]
+        else:
+            x, b = self._pad_and_shard(audio)
+            out = self._denoise_audio(
+                x, key, mode=mode, gl_iters=gl_iters, center=center
+            )[:b]
+        return out[..., :n] if (rem and center) else out
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _denoise_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:

@@ -29,15 +29,28 @@ from audiodenoiser_tpu.models.unet import UNet
 
 
 class ComplexMaskUNet(UNet):
-    """U-Net emitting a bounded complex ratio mask (2 output channels)."""
+    """U-Net emitting a bounded complex ratio mask (2 output channels).
+
+    ``residual=True`` re-parametrizes the mask as **identity + bounded
+    deviation**: ``M = (1, 0) + K tanh(out)``. At init the network is a
+    perfect pass-through, and preserving already-clean audio is the zero
+    function rather than something to learn — critical for corruptions
+    with a stochastic gate (noise_cancellation fires with p=0.8; round-3
+    measurement showed a non-residual mask degrades the untouched clips
+    to its ~25 dB reconstruction floor, wrecking the mean SI-SDR).
+    """
 
     out_channels: int = 2
     mask_bound: float = 2.0
+    residual: bool = False
 
     @jax.named_scope("complex_mask_unet")
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         out = super().__call__(x, train=train)
-        return self.mask_bound * jnp.tanh(out)
+        mask = self.mask_bound * jnp.tanh(out)
+        if self.residual:
+            mask = mask + jnp.asarray([1.0, 0.0], mask.dtype)
+        return mask
 
 
 def spectrogram_features(spec: jax.Array) -> jax.Array:
@@ -59,13 +72,21 @@ def denoise_waveform(
     n_fft: int = 512,
     hop_length: int = 128,
 ) -> jax.Array:
-    """Fused stft -> mask -> istft, one jittable graph (no phase iteration)."""
+    """Fused stft -> mask -> istft, one jittable graph (no phase iteration).
+
+    The input is hop-aligned (zero-padded) before the STFT so every real
+    sample is reconstructed — the iSTFT of a center STFT only covers
+    ``floor(n/hop)*hop`` samples (librosa semantics)."""
     if audio.ndim == 1:  # the U-Net backbone is NHWC-batched
         return denoise_waveform(model, variables, audio[None], n_fft, hop_length)[0]
+    n = audio.shape[-1]
+    rem = (-n) % hop_length
+    if rem:
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, rem)])
     spec = stft_lib.stft(audio, n_fft, hop_length, center=True)
     feats = spectrogram_features(spec)
     mask = model.apply(variables, feats, train=False)
     out = apply_mask(mask, spec)
     return stft_lib.istft(
         out, hop_length, n_fft=n_fft, center=True, length=audio.shape[-1]
-    )
+    )[..., :n]

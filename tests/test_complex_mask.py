@@ -47,6 +47,28 @@ class TestMaskMath:
         out = apply_mask(ones, spec)
         np.testing.assert_allclose(np.asarray(out), np.asarray(spec), atol=1e-6)
 
+    def test_residual_mask_is_identity_at_init(self, rng):
+        """residual=True: M = (1,0) + K tanh(out) — a freshly-initialized
+        network passes audio through exactly (the zero-function prior that
+        protects gate-never-fired clips, round-3 nc fix)."""
+        from audiodenoiser_tpu.models.complex_mask import denoise_waveform
+
+        model = ComplexMaskUNet(
+            features=(4, 8), bottleneck=16, residual=True, mask_bound=8.0
+        )
+        # zero the final conv so out == 0 exactly (init bias is 0; the
+        # kernel init is random, so zero it to probe the parametrization)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        v = jax.tree_util.tree_map(lambda x: x, v)
+        v["params"]["out"]["kernel"] = jnp.zeros_like(
+            v["params"]["out"]["kernel"]
+        )
+        x = jnp.asarray(
+            np.clip(rng.standard_normal(8000) * 0.2, -1, 1).astype(np.float32)
+        )
+        y = denoise_waveform(model, v, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
     def test_mask_is_bounded(self, rng):
         model = _tiny()
         v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
@@ -211,6 +233,7 @@ class TestCLI:
         with open(tmp_path / "sm" / "mask_denoiser_white.json") as f:
             meta = json.load(f)
         assert meta["mask_bound"] == 2.0 and meta["si_sdr_weight"] == 0.5
+        assert meta["residual"] is True
 
     def test_noise_cancellation_gets_wide_bound(self, tmp_path, monkeypatch):
         """The nc specialist defaults to mask_bound 8 (undoing 0.2x
