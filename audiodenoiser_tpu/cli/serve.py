@@ -133,10 +133,38 @@ def main(argv=None):
         expert_runners=expert_runners,
         auto_expert_mode=auto_expert_mode,
     )
-    server = make_http_server(service, args.host, args.port)
+    # chunked low-latency streaming sessions (POST /stream/start|{id}):
+    # one shared StreamingDenoiser so sessions reuse its compiled graphs
+    from audiodenoiser_tpu.eval.streaming import (
+        RoutedStreamingSession,
+        StreamingDenoiser,
+    )
+
+    chunk = int(args.bucket_seconds * args.sample_rate)
+    chunk -= chunk % 2  # WOLA needs an even chunk
+    stream_mode = (
+        "complex_mask" if args.model == "complex_mask" else "noisy_phase"
+    )
+    streamer = StreamingDenoiser(
+        runner, chunk_samples=chunk, sample_rate=args.sample_rate,
+        mode=stream_mode,
+    )
+    routed_mixture = mixture if args.auto_route else None
+
+    def stream_factory(mode):
+        if routed_mixture is not None and mode in (None, "auto"):
+            return RoutedStreamingSession(
+                routed_mixture, chunk_samples=chunk,
+                sample_rate=args.sample_rate, precision=path,
+            )
+        return streamer.session()
+
+    server = make_http_server(
+        service, args.host, args.port, stream_factory=stream_factory
+    )
     print(
         f"Serving {stem}_{args.noise_type} on http://{args.host}:{args.port} "
-        f"(mode={default_mode})"
+        f"(mode={default_mode}, streaming chunk={chunk})"
     )
     try:
         server.serve_forever()

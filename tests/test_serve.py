@@ -247,6 +247,81 @@ class TestMicroBatching:
         with pytest.raises(RuntimeError, match="boom"):
             service.denoise(np.ones(100, np.float32))
 
+    pass
+
+
+class TestStreamingHTTP:
+    @pytest.fixture(scope="class")
+    def stream_url(self):
+        from audiodenoiser_tpu.eval.streaming import StreamingDenoiser
+
+        class _Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        runner = DenoiserRunner(_Identity(), {})
+        service = DenoiseService(runner, bucket_samples=8000)
+        streamer = StreamingDenoiser(runner, chunk_samples=2048)
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: streamer.session(),
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        server.shutdown()
+
+    def _post(self, url, data=b""):
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    def test_chunked_session_roundtrip(self, stream_url, rng):
+        """Push a long signal in packets over HTTP; output arrives
+        incrementally within the advertised latency budget and (identity
+        net) reconstructs the input."""
+        info = json.loads(self._post(f"{stream_url}/stream/start"))
+        sid = info["session"]
+        assert info["format"] == "f32le"
+        latency = info["latency_samples"]
+        assert latency == 2048
+        x = np.clip(rng.standard_normal(9000) * 0.2, -1, 1).astype(np.float32)
+        got = []
+        pushed = 0
+        for piece in np.array_split(x, 7):
+            out = self._post(
+                f"{stream_url}/stream/{sid}", piece.astype("<f4").tobytes()
+            )
+            got.append(np.frombuffer(out, "<f4"))
+            pushed += len(piece)
+            # bounded latency: everything but the WOLA lookahead is out
+            assert sum(len(g) for g in got) >= pushed - latency
+        got.append(np.frombuffer(
+            self._post(f"{stream_url}/stream/{sid}/flush"), "<f4"
+        ))
+        y = np.concatenate(got)
+        assert len(y) >= len(x)
+        np.testing.assert_allclose(y[: len(x)], x, atol=2e-3)
+        # the flush closed the session
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(f"{stream_url}/stream/{sid}", b"")
+        assert e.value.code == 404
+
+    def test_unknown_session_404(self, stream_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(f"{stream_url}/stream/{'0' * 16}", b"\x00" * 4)
+        assert e.value.code == 404
+
+    def test_streaming_disabled_404(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(f"{server_url}/stream/start")
+        assert e.value.code == 404
+
+
+class TestFairnessAndBackpressure:
+    _service_with_fake_runner = TestMicroBatching._service_with_fake_runner
+
     def test_no_starvation_under_sustained_single_bucket_load(self):
         """Round-robin fairness (VERDICT r2 weak #7): a continuous stream
         of bucket-A requests must not starve a lone bucket-B request —

