@@ -542,14 +542,33 @@ def test_noise_type_waveform(
     total, s, m, l1 = combined_perceptual_loss(
         den_mag[..., None], clean_mag[..., None]
     )
-    sdr_noisy = float(jnp.mean(si_sdr(noisy_audio, clean)))
-    sdr_den = float(jnp.mean(si_sdr(den_audio, clean)))
+    sdr_n_clips = np.asarray(si_sdr(noisy_audio, clean))
+    sdr_d_clips = np.asarray(si_sdr(den_audio, clean))
+    sdr_noisy = float(sdr_n_clips.mean())
+    sdr_den = float(sdr_d_clips.mean())
+    # SI-SDR is UNBOUNDED on clips a stochastic corruption left untouched
+    # (a gate-never-fired noise_cancellation clip scores ~100 dB, which no
+    # finite-precision reconstruction can preserve), so the plain mean is
+    # degenerate for gated corruptions. Report the standard robust
+    # aggregates alongside: per-clip clamp at 30 dB (≈ perceptual
+    # transparency, where SI-SDR saturates) and the median.
+    clamp = 30.0
     metrics = {
         "total": float(total), "stft": float(s), "mel": float(m),
         "l1": float(l1), "si_sdr_noisy": sdr_noisy, "si_sdr": sdr_den,
+        "si_sdr30_noisy": float(np.minimum(sdr_n_clips, clamp).mean()),
+        "si_sdr30": float(np.minimum(sdr_d_clips, clamp).mean()),
+        "si_sdr_median_noisy": float(np.median(sdr_n_clips)),
+        "si_sdr_median": float(np.median(sdr_d_clips)),
     }
     print(f"Total Loss: {metrics['total']:.6f}")
     print(f"SI-SDR: {sdr_noisy:.3f} dB (noisy) -> {sdr_den:.3f} dB (denoised)")
+    print(
+        f"SI-SDR (clamped@30): {metrics['si_sdr30_noisy']:.3f} -> "
+        f"{metrics['si_sdr30']:.3f} dB | median: "
+        f"{metrics['si_sdr_median_noisy']:.3f} -> "
+        f"{metrics['si_sdr_median']:.3f} dB"
+    )
     try:
         clean_np = np.asarray(clean)
         noisy_host = np.asarray(noisy_audio)
@@ -594,6 +613,12 @@ def test_noise_type_waveform(
         f.write(f"L1 Loss: {metrics['l1']:.6f}\n")
         f.write(f"SI-SDR noisy: {sdr_noisy:.3f} dB\n")
         f.write(f"SI-SDR denoised: {sdr_den:.3f} dB\n")
+        f.write(f"SI-SDR clamped@30 noisy: {metrics['si_sdr30_noisy']:.3f} dB\n")
+        f.write(f"SI-SDR clamped@30 denoised: {metrics['si_sdr30']:.3f} dB\n")
+        f.write(
+            f"SI-SDR median noisy: {metrics['si_sdr_median_noisy']:.3f} dB\n"
+        )
+        f.write(f"SI-SDR median denoised: {metrics['si_sdr_median']:.3f} dB\n")
         if "stoi" in metrics:
             f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
             f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
