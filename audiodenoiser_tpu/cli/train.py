@@ -110,6 +110,19 @@ def parse_args(argv=None):
         "all-gathers and reduce-scatters).",
     )
     ext.add_argument(
+        "--pp_stages", type=int, default=0,
+        help="pipeline-parallel TRAINING: split the U-Net block sequence "
+        "into N stages over a ('data','stage') mesh (devices/N data "
+        "replicas) and train with the single-program 1F1B schedule "
+        "(parallel/pipeline_train.py). Constant LR only; magnitude (unet) "
+        "family.",
+    )
+    ext.add_argument(
+        "--pp_microbatches", type=int, default=4,
+        help="microbatches per 1F1B step (batch_size must divide by "
+        "pp_microbatches * data replicas).",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -179,6 +192,154 @@ def _resolve_npy_dir(base: str, noise_type: str | None) -> str:
         f"no .npy spectrogram pairs found under {base!r} "
         f"(noise_type={noise_type!r}); run create_train_dataset first"
     )
+
+
+def _train_pp(args, cfg, train_batches, val_batches):
+    """1F1B pipeline-parallel training loop (``--pp_stages``).
+
+    A lean driver around :class:`~audiodenoiser_tpu.parallel.pipeline_train.
+    PipelineTrainer`: reshapes each (B, F, T, C) host batch into
+    (n_micro, B/n_micro, ...) microbatches, runs the single-program 1F1B
+    step, validates with the pipelined forward, and exports the best model
+    in the standard single-file format (the pp flat state unpacks back to
+    ordinary U-Net variables, so eval/serve load it unchanged).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import audiodenoiser_tpu.train.loop as loop_mod
+    from audiodenoiser_tpu.losses import combined_perceptual_loss
+    from audiodenoiser_tpu.parallel.pipeline_train import PipelineTrainer
+    from audiodenoiser_tpu.train.checkpoints import export_model
+    from audiodenoiser_tpu.train.logging_utils import ScalarWriter, setup_logger
+
+    S = args.pp_stages
+    nd = jax.device_count()
+    if nd % S:
+        raise SystemExit(f"--pp_stages {S} does not divide {nd} devices")
+    dp = nd // S
+    M = args.pp_microbatches
+    if cfg.batch_size % (M * dp):
+        raise SystemExit(
+            f"batch_size {cfg.batch_size} must divide by "
+            f"pp_microbatches*data ({M}*{dp})"
+        )
+    mb = cfg.batch_size // (M * dp)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(dp, S), ("data", "stage"))
+
+    run_dir = os.path.join(cfg.output_path, cfg.run_name)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = setup_logger(os.path.join(run_dir, "training.log"))
+    logger.info(
+        f"--- 1F1B pipeline-parallel run: mesh {dict(mesh.shape)}, "
+        f"{M} microbatches x {mb} per replica ---"
+    )
+
+    # peek one batch for the spectrogram shape; the model template comes
+    # from loop.UNet so the architecture matches the monolithic path
+    it0 = iter(train_batches(0))
+    first = next(it0)
+    f_dim, t_dim, c_dim = np.asarray(first[0]).shape[1:]
+    model = loop_mod.UNet(dtype=jnp.float32, remat=False)
+    variables = model.init(
+        jax.random.key(cfg.seed), jnp.zeros((1, f_dim, t_dim, c_dim))
+    )
+    trainer = PipelineTrainer(
+        mesh,
+        micro_batch=mb,
+        n_micro=M,
+        input_shape=(f_dim, t_dim, c_dim),
+        features=tuple(model.features),
+        bottleneck=model.bottleneck,
+        out_channels=model.out_channels,
+        learning_rate=cfg.learning_rate,
+    )
+    state = trainer.init(variables)
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(variables["params"])
+    )
+    logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
+
+    eff = M * mb * dp
+
+    def prep(x):
+        x = np.asarray(x, np.float32)
+        if x.shape[0] != eff:  # wrap-pad ragged final batches
+            x = x[np.arange(eff) % x.shape[0]]
+        return jnp.asarray(x.reshape(M, mb * dp, *x.shape[1:]))
+
+    @jax.jit
+    def val_loss_fn(out, clean):
+        return combined_perceptual_loss(out, clean).total
+
+    writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
+    best_path = os.path.join(ckpt_dir, "best_model.ckpt")
+    best_val = float("inf")
+    history = []
+    from itertools import chain
+
+    for epoch in range(cfg.epochs):
+        t0 = _time.perf_counter()
+        batches_iter = (
+            chain([first], it0) if epoch == 0 else train_batches(epoch)
+        )
+        train_losses = []
+        for noisy, clean in batches_iter:
+            state, loss = trainer.step(state, prep(noisy), prep(clean))
+            train_losses.append(float(loss))
+        train_loss = float(np.mean(train_losses)) if train_losses else float("nan")
+        writer.add_scalar("Loss/train", train_loss, epoch)
+        val_losses = []
+        for noisy, clean in val_batches():
+            out = trainer.forward(state, prep(noisy))
+            flat = out.reshape(-1, *out.shape[2:])
+            flat_c = prep(clean).reshape(-1, *out.shape[2:])
+            val_losses.append(float(val_loss_fn(flat, flat_c)))
+        val_loss = (
+            float(np.mean(val_losses)) if val_losses else train_loss
+        )
+        writer.add_scalar("Loss/validation", val_loss, epoch)
+        dt = _time.perf_counter() - t0
+        logger.info(
+            f"Epoch {epoch + 1}/{cfg.epochs} -> Train Loss: {train_loss:.6f}"
+            f" | Validation Loss: {val_loss:.6f} | {dt:.1f}s"
+        )
+        if not np.isfinite(train_loss):
+            logger.error("Non-finite training loss; aborting run.")
+            raise FloatingPointError(f"diverged at epoch {epoch}")
+        history.append({"epoch": epoch, "train": train_loss, "val": val_loss})
+        if val_loss < best_val:
+            best_val = val_loss
+            full = trainer.unpack_state(state)
+            export_model(best_path, full["params"], full["batch_stats"])
+            logger.info(
+                f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
+            )
+    writer.close()
+    logger.info("--- Training Finished ---")
+    if args.export_dir and args.noise_type:
+        import shutil
+
+        os.makedirs(args.export_dir, exist_ok=True)
+        dst = os.path.join(
+            args.export_dir, f"unet_denoiser_{args.noise_type}.ckpt"
+        )
+        if os.path.exists(best_path):
+            shutil.copyfile(best_path, dst)
+            print(f"Exported best model to {dst}")
+    return {
+        "best_val": best_val,
+        "best_path": best_path,
+        "run_dir": run_dir,
+        "history": history,
+        "state": state,
+    }
 
 
 def main(argv=None):
@@ -375,6 +536,11 @@ def main(argv=None):
             export_router(dst)
             print(f"Exported router to {dst}")
         return {"best_path": best, "router_accuracy": acc}
+
+    if args.pp_stages:
+        if args.model != "unet":
+            raise SystemExit("--pp_stages supports the unet family only")
+        return _train_pp(args, cfg, train_batches, val_batches)
 
     if args.lr_schedule == "cosine" and cfg.total_steps == 0:
         cfg.total_steps = args.epochs * steps_per_epoch

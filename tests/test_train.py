@@ -255,6 +255,44 @@ class TestTrainCLI:
         assert os.path.exists(tmp_path / "saved_models" / "unet_denoiser_white.ckpt")
         assert os.path.exists(out["best_path"])
 
+    def test_cli_pp_stages_trains_and_exports(self, tmp_path, monkeypatch):
+        """--pp_stages: 1F1B pipeline-parallel training from the public
+        CLI over the ('data','stage') virtual mesh; the exported best
+        checkpoint is an ordinary single-file U-Net export."""
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.train.checkpoints import load_exported
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(
+                features=(4, 8), bottleneck=16, dtype=jnp.float32,
+                remat=remat,
+            ),
+        )
+        from audiodenoiser_tpu.cli.train import main
+
+        data_dir = tmp_path / "npy"
+        data_dir.mkdir()
+        _write_npy_dataset(data_dir, n=16)
+        res = main(
+            [
+                "--base_dataset_path", str(data_dir),
+                "--noise_type", "white",
+                "--epochs", "1",
+                "--batch_size", "8",
+                "--pp_stages", "4",
+                "--pp_microbatches", "2",
+                "--run_name", "pprun",
+                "--output_path", str(tmp_path / "out"),
+                "--export_dir", str(tmp_path / "sm"),
+            ]
+        )
+        assert np.isfinite(res["best_val"])
+        assert os.path.exists(res["best_path"])
+        payload = load_exported(res["best_path"])
+        assert "down0" in payload["params"]
+        assert os.path.exists(tmp_path / "sm" / "unet_denoiser_white.ckpt")
+
     def test_cli_missing_dataset_errors(self, tmp_path):
         from audiodenoiser_tpu.cli.train import main
 
