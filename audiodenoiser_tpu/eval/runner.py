@@ -403,11 +403,19 @@ def test_single_noise_type(
         recon = np.asarray(
             _noisy_phase_recon(jnp.asarray(denoised), jnp.asarray(noisy_audio))
         )
+        # the artifact spectrograms fix the frame count, so the iSTFT only
+        # covers (T-1)*hop samples (librosa trim semantics) — score BOTH
+        # signals on the covered region so the recon isn't penalized for a
+        # tail the artifacts cannot represent
+        covered = max(hop_length, (denoised.shape[-1] - 1) * hop_length)
+        covered = min(covered, recon.shape[-1])
         metrics["si_sdr_noisy_phase"] = float(np.mean(np.asarray(
-            si_sdr(jnp.asarray(recon), jnp.asarray(clean_audio_true))
+            si_sdr(jnp.asarray(recon[..., :covered]),
+                   jnp.asarray(clean_audio_true[..., :covered]))
         )))
         metrics["si_sdr_noisy_input"] = float(np.mean(np.asarray(
-            si_sdr(jnp.asarray(noisy_audio), jnp.asarray(clean_audio_true))
+            si_sdr(jnp.asarray(noisy_audio[..., :covered]),
+                   jnp.asarray(clean_audio_true[..., :covered]))
         )))
         print(
             f"SI-SDR (noisy-phase recon vs clean waveform): "
@@ -416,11 +424,13 @@ def test_single_noise_type(
         )
         try:
             metrics["pesq_noisy_input"] = float(np.mean([
-                pesq(clean_audio_true[i], noisy_audio[i], sample_rate)
+                pesq(clean_audio_true[i, :covered],
+                     noisy_audio[i, :covered], sample_rate)
                 for i in range(clean_audio_true.shape[0])
             ]))
             metrics["pesq_noisy_phase"] = float(np.mean([
-                pesq(clean_audio_true[i], recon[i], sample_rate)
+                pesq(clean_audio_true[i, :covered], recon[i, :covered],
+                     sample_rate)
                 for i in range(clean_audio_true.shape[0])
             ]))
             print(
