@@ -571,7 +571,8 @@ def main(argv=None):
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
                 ComplexMaskUNet(dtype=dtype, mask_bound=bound,
-                                residual=residual),
+                                residual=residual,
+                                zero_out_init=residual),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
                 warmup_steps=args.warmup_steps,

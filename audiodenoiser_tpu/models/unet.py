@@ -89,6 +89,9 @@ class UNet(nn.Module):
     remat: bool = False  # rematerialize DoubleConv blocks (activation
     # memory ~halves in backward, trading recompute — raises the max
     # trainable batch per chip)
+    zero_out_init: bool = False  # zero-init the final 1x1 conv: used by
+    # the residual complex-mask head so a fresh network is an exact
+    # pass-through (deviation-from-identity starts at zero)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -126,6 +129,11 @@ class UNet(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="out",
+            **(
+                {"kernel_init": nn.initializers.zeros}
+                if self.zero_out_init
+                else {}
+            ),
         )(x)
         return x.astype(in_dtype)
 
