@@ -540,6 +540,14 @@ def main(argv=None):
     if args.pp_stages:
         if args.model != "unet":
             raise SystemExit("--pp_stages supports the unet family only")
+        if args.resume:
+            raise SystemExit("--pp_stages does not support --resume yet "
+                             "(the pp flat state has no orbax layout)")
+        if args.lr_schedule != "constant" or args.ema_decay or args.fsdp:
+            raise SystemExit(
+                "--pp_stages supports the constant-LR AdamW path only "
+                "(drop --lr_schedule/--ema_decay/--fsdp)"
+            )
         return _train_pp(args, cfg, train_batches, val_batches)
 
     if args.lr_schedule == "cosine" and cfg.total_steps == 0:

@@ -244,6 +244,32 @@ class TestPipelineTrain:
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
 
+    def test_more_microbatches_than_stages(self, rng):
+        """M > S exercises the receive rings + in-flight cap for real
+        (slot reuse m and m+S); still equals monolithic accumulation."""
+        devices = np.asarray(jax.devices()[:4])
+        mesh = Mesh(devices, ("stage",))
+        model = _model()
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, *IN_SHAPE), jnp.float32)
+        )
+        trainer = self._trainer(mesh, n_micro=6, micro_batch=1)
+        state = trainer.init(variables)
+        noisy, clean = _batch(rng, 6, 1)
+        mono_vars, mono_losses = _mono_steps(variables, noisy, clean, 1)
+        state, loss = trainer.step(state, noisy, clean)
+        np.testing.assert_allclose(
+            float(loss), mono_losses[0], rtol=1e-5, atol=1e-6
+        )
+        got = trainer.unpack_state(state)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got["params"]),
+            jax.tree_util.tree_leaves(mono_vars["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+
     def test_pack_unpack_roundtrip(self):
         devices = np.asarray(jax.devices()[:4])
         mesh = Mesh(devices, ("stage",))
