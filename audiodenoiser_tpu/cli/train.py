@@ -266,6 +266,29 @@ def _train_pp(args, cfg, train_batches, val_batches):
     )
     logger.info(f"U-NET Model initialized. Trainable parameters: {n_params:,}")
 
+    from audiodenoiser_tpu.train import checkpoints as ckpt_lib
+
+    start_epoch = 0
+    best_val = float("inf")
+    resume_dir = os.path.join(ckpt_dir, "pp_train_state")
+    if cfg.resume and os.path.exists(resume_dir):
+        # PipeTrainState is a plain pytree of arrays: the standard orbax
+        # round-trip applies (full optimizer moments + step included)
+        template = {
+            "state": jax.device_get(state),
+            "epoch": 0,
+            "best_val": 0.0,
+        }
+        restored = ckpt_lib.restore_train_state(resume_dir, template)
+        state = jax.device_put(
+            restored["state"], trainer._state_sharding()
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        best_val = float(restored["best_val"])
+        logger.info(
+            f"Resumed from epoch {start_epoch} (best val {best_val:.6f})"
+        )
+
     eff = M * mb * dp
 
     def prep(x):
@@ -280,11 +303,10 @@ def _train_pp(args, cfg, train_batches, val_batches):
 
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
-    best_val = float("inf")
     history = []
     from itertools import chain
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = _time.perf_counter()
         batches_iter = (
             chain([first], it0) if epoch == 0 else train_batches(epoch)
@@ -321,6 +343,14 @@ def _train_pp(args, cfg, train_batches, val_batches):
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
+        ckpt_lib.save_train_state(
+            resume_dir,
+            {
+                "state": jax.device_get(state),
+                "epoch": epoch,
+                "best_val": best_val,
+            },
+        )
     writer.close()
     logger.info("--- Training Finished ---")
     if args.export_dir and args.noise_type:
@@ -540,9 +570,6 @@ def main(argv=None):
     if args.pp_stages:
         if args.model != "unet":
             raise SystemExit("--pp_stages supports the unet family only")
-        if args.resume:
-            raise SystemExit("--pp_stages does not support --resume yet "
-                             "(the pp flat state has no orbax layout)")
         if args.lr_schedule != "constant" or args.ema_decay or args.fsdp:
             raise SystemExit(
                 "--pp_stages supports the constant-LR AdamW path only "

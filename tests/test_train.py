@@ -292,6 +292,21 @@ class TestTrainCLI:
         payload = load_exported(res["best_path"])
         assert "down0" in payload["params"]
         assert os.path.exists(tmp_path / "sm" / "unet_denoiser_white.ckpt")
+        # resume: the pp flat state round-trips through orbax
+        res2 = main(
+            [
+                "--base_dataset_path", str(data_dir),
+                "--noise_type", "white",
+                "--epochs", "2",
+                "--batch_size", "8",
+                "--pp_stages", "4",
+                "--pp_microbatches", "2",
+                "--run_name", "pprun",
+                "--output_path", str(tmp_path / "out"),
+                "--resume",
+            ]
+        )
+        assert [h["epoch"] for h in res2["history"]] == [1]
 
     def test_cli_missing_dataset_errors(self, tmp_path):
         from audiodenoiser_tpu.cli.train import main
