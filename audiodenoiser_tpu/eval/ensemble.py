@@ -592,16 +592,31 @@ def evaluate_routed_waveform(
         pred = np.asarray(mixture.classify(noisy_mag[..., None]))
         acc = float(np.mean(pred == NOISE_CLASSES.index(nt)))
         den = mixture.denoise_waveform(noisy, labels=pred)
-        sdr_noisy = float(jnp.mean(si_sdr(noisy, clean)))
-        sdr_den = float(jnp.mean(si_sdr(den, clean)))
+        sn = np.asarray(si_sdr(noisy, clean))
+        sd = np.asarray(si_sdr(den, clean))
+        # robust aggregates alongside the plain mean (see eval.runner:
+        # SI-SDR is unbounded on gate-never-fired clips)
         metrics = {
             "routing_accuracy": acc,
-            "si_sdr_noisy": sdr_noisy,
-            "si_sdr": sdr_den,
+            "si_sdr_noisy": float(sn.mean()),
+            "si_sdr": float(sd.mean()),
+            "si_sdr30_noisy": float(np.minimum(sn, 30.0).mean()),
+            "si_sdr30": float(np.minimum(sd, 30.0).mean()),
+            "si_sdr_median_noisy": float(np.median(sn)),
+            "si_sdr_median": float(np.median(sd)),
         }
         print(f"\n=== Auto-routed waveform eval on noise type: {nt} ===")
         print(f"Routing accuracy: {acc:.3f}")
-        print(f"SI-SDR: {sdr_noisy:.3f} dB (noisy) -> {sdr_den:.3f} dB")
+        print(
+            f"SI-SDR: {metrics['si_sdr_noisy']:.3f} dB (noisy) -> "
+            f"{metrics['si_sdr']:.3f} dB"
+        )
+        print(
+            f"SI-SDR (clamped@30): {metrics['si_sdr30_noisy']:.3f} -> "
+            f"{metrics['si_sdr30']:.3f} dB | median: "
+            f"{metrics['si_sdr_median_noisy']:.3f} -> "
+            f"{metrics['si_sdr_median']:.3f} dB"
+        )
         with open(os.path.join(output_dir, f"{nt}_routed_metrics.txt"),
                   "w") as f:
             f.write(
@@ -609,8 +624,22 @@ def evaluate_routed_waveform(
                 f"noise type: {nt}\n"
             )
             f.write(f"Routing Accuracy: {acc:.6f}\n")
-            f.write(f"SI-SDR noisy: {sdr_noisy:.3f} dB\n")
-            f.write(f"SI-SDR denoised: {sdr_den:.3f} dB\n")
+            f.write(f"SI-SDR noisy: {metrics['si_sdr_noisy']:.3f} dB\n")
+            f.write(f"SI-SDR denoised: {metrics['si_sdr']:.3f} dB\n")
+            f.write(
+                f"SI-SDR clamped@30 noisy: {metrics['si_sdr30_noisy']:.3f} dB\n"
+            )
+            f.write(
+                f"SI-SDR clamped@30 denoised: {metrics['si_sdr30']:.3f} dB\n"
+            )
+            f.write(
+                f"SI-SDR median noisy: "
+                f"{metrics['si_sdr_median_noisy']:.3f} dB\n"
+            )
+            f.write(
+                f"SI-SDR median denoised: "
+                f"{metrics['si_sdr_median']:.3f} dB\n"
+            )
         results[nt] = metrics
     return results
 
