@@ -245,7 +245,8 @@ def _train_pp(args, cfg, train_batches, val_batches):
     it0 = iter(train_batches(0))
     first = next(it0)
     f_dim, t_dim, c_dim = np.asarray(first[0]).shape[1:]
-    model = loop_mod.UNet(dtype=jnp.float32, remat=False)
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    model = loop_mod.UNet(dtype=dtype, remat=False)
     variables = model.init(
         jax.random.key(cfg.seed), jnp.zeros((1, f_dim, t_dim, c_dim))
     )
@@ -257,6 +258,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
         features=tuple(model.features),
         bottleneck=model.bottleneck,
         out_channels=model.out_channels,
+        dtype=dtype,
         learning_rate=cfg.learning_rate,
     )
     state = trainer.init(variables)
