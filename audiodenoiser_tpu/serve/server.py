@@ -380,6 +380,7 @@ def make_http_server(
             if m is None:
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
+            _evict_idle()
             sid, flushing = m.group(1), m.group(2) is not None
             with s_lock:
                 entry = sessions.get(sid)
