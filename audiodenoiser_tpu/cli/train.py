@@ -160,6 +160,12 @@ def parse_args(argv=None):
         "easy direction. Recorded in the sidecar.",
     )
     ext.add_argument(
+        "--ckpt_every", type=int, default=1,
+        help="write the orbax resume state every N epochs (always after "
+        "the last). The full-state save can dominate short epochs on "
+        "slow-IO hosts; best-model exports are unaffected.",
+    )
+    ext.add_argument(
         "--profile_dir", type=str, default=None,
         help="Capture a jax.profiler trace of the run into this directory.",
     )
@@ -429,6 +435,7 @@ def main(argv=None):
         grad_accum=args.grad_accum,
         remat=args.remat,
         fsdp=args.fsdp,
+        ckpt_every=args.ckpt_every,
         ema_decay=args.ema_decay,
         model_parallel=args.model_parallel,
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],

@@ -182,6 +182,9 @@ class FitConfig:
     model_parallel: int = 1
     use_mesh: bool | None = None  # None: auto (mesh iff >1 device visible)
     fsdp: bool = False  # shard params + optimizer state over the data axis
+    ckpt_every: int = 1  # write the orbax resume state every N epochs
+    # (plus always after the final epoch). On a slow-IO host the full-state
+    # save can dominate short epochs; best-model exports are unaffected.
     ema_decay: float | None = None  # e.g. 0.999: track an exponential
     # moving average of the params, validate it each epoch, and export the
     # best-EMA checkpoint alongside the raw best
@@ -411,15 +414,19 @@ def fit(
                 f"New best EMA model saved to {best_ema_path} "
                 f"(EMA Val Loss: {best_ema_val:.6f})"
             )
-        payload = {
-            "state": jax.device_get(state),
-            "epoch": epoch,
-            "best_val": best_val,
-        }
-        if ema_params is not None:
-            payload["ema"] = jax.device_get(ema_params)
-            payload["best_ema_val"] = best_ema_val
-        ckpt_lib.save_train_state(resume_dir, payload)
+        if (
+            (epoch + 1) % max(1, config.ckpt_every) == 0
+            or epoch == config.epochs - 1
+        ):
+            payload = {
+                "state": jax.device_get(state),
+                "epoch": epoch,
+                "best_val": best_val,
+            }
+            if ema_params is not None:
+                payload["ema"] = jax.device_get(ema_params)
+                payload["best_ema_val"] = best_ema_val
+            ckpt_lib.save_train_state(resume_dir, payload)
 
     writer.close()
     logger.info("--- Training Finished ---")
