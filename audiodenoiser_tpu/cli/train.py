@@ -145,6 +145,16 @@ def parse_args(argv=None):
         "the eval gate scores; 0 restores the spectral-only objective).",
     )
     ext.add_argument(
+        "--si_sdr_clamp", type=float, default=30.0,
+        help="complex_mask family: saturate the per-example SI-SDR reward "
+        "at this many dB (<=0 disables). Without it, corruptions that "
+        "leave some chunks untouched (noise_cancellation's p=0.8 gate) "
+        "let ~110 dB pass-through clips dominate the mean and the "
+        "optimum is the identity mask — measured round 3. 30 dB is where "
+        "SI-SDR is perceptually saturated (same threshold as the eval "
+        "aggregate).",
+    )
+    ext.add_argument(
         "--mask_bound", type=float, default=None,
         help="complex_mask family: tanh bound K of the complex ratio mask "
         "(|Mr|,|Mi| <= K). Default 2.0, except 8.0 for noise_cancellation "
@@ -604,12 +614,13 @@ def main(argv=None):
         # SI-SDR metric, and give the noise_cancellation specialist a mask
         # bound wide enough to invert its 0.2x attenuation
         si_w = 0.5 if args.si_sdr_weight is None else args.si_sdr_weight
+        si_clamp = args.si_sdr_clamp if args.si_sdr_clamp > 0 else None
         bound = args.mask_bound
         if bound is None:
             bound = 8.0 if args.noise_type == "noise_cancellation" else 2.0
         residual = args.mask_residual == "on"
         mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w,
-                     "residual": residual}
+                     "si_sdr_clamp": si_clamp, "residual": residual}
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
@@ -623,7 +634,7 @@ def main(argv=None):
                 total_steps=cfg.total_steps,
                 grad_accum=args.grad_accum,
             ),
-            steps=make_mask_steps(si_w),
+            steps=make_mask_steps(si_w, si_sdr_clamp=si_clamp),
         )
 
     with maybe_trace(args.profile_dir):

@@ -82,7 +82,12 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     # so frames/s can be read as compute-bound vs bandwidth-bound
     flops = bytes_accessed = None
     try:
-        lowered = runner._denoise_audio.lower(audio, key, mode=run_mode)
+        # NB: .lower() on the instance-bound jit wrapper does NOT bind
+        # self (unlike __call__) — pass the runner explicitly, or the
+        # roofline keys silently vanish from the bench JSON
+        lowered = runner._denoise_audio.lower(
+            runner, audio, key, mode=run_mode
+        )
         cost = lowered.compile().cost_analysis()
         if cost:
             flops = float(cost.get("flops", 0.0)) or None

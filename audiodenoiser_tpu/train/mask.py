@@ -73,7 +73,8 @@ def create_mask_train_state(
 
 
 def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
-                 train: bool, si_sdr_weight: float = 0.0):
+                 train: bool, si_sdr_weight: float = 0.0,
+                 si_sdr_clamp: float | None = None):
     # center=True everywhere: inference (models/complex_mask.denoise_waveform,
     # eval/runner complex_mask mode) uses center=True, so training must see
     # the same edge-frame statistics.
@@ -102,22 +103,40 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
         # maximize mean SI-SDR of the reconstruction (float32 accumulation:
         # the projection/ratio arithmetic is precision-sensitive)
         sdr = si_sdr(y_hat.astype(jnp.float32), clean_audio.astype(jnp.float32))
+        if si_sdr_clamp is not None:
+            # Saturate the per-example reward. noise_cancellation leaves
+            # 20% of training chunks bit-identical to clean (p=0.8 gate,
+            # dsp/noise.py): through an identity-init residual mask those
+            # score ~110 dB, so an UNCLAMPED mean is maximized by the
+            # identity mask (0.2*110 > 0.8*10) — measured round 3: the
+            # specialist converged to an exact pass-through (28.977 ->
+            # 28.975 dB, zero denoising). Clamping at ~30 dB (where SI-SDR
+            # is perceptually saturated, same threshold as the eval
+            # aggregate) zeroes the gradient on already-perfect clips so
+            # the corrupted 80% drive the objective.
+            sdr = jnp.minimum(sdr, si_sdr_clamp)
         total = total - si_sdr_weight * jnp.mean(sdr) / SI_SDR_SCALE
     return total, losses._replace(total=total), new_bs
 
 
-def make_mask_steps(si_sdr_weight: float = 0.0):
+def make_mask_steps(si_sdr_weight: float = 0.0,
+                    si_sdr_clamp: float | None = None):
     """Build (train_step, eval_step) jitted closures for the mask family
     with the given -SI-SDR weight. Both steps report the SAME total the
     optimizer sees, so best-val checkpoint selection tracks the deployed
-    objective."""
+    objective.
+
+    si_sdr_clamp: saturate the per-example SI-SDR reward at this many dB
+    (None = unclamped). Essential for corruptions that leave some training
+    examples untouched (noise_cancellation) — see _mask_losses.
+    """
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, noisy_audio, clean_audio):
         def loss_fn(params):
             total, losses, new_bs = _mask_losses(
                 state, params, noisy_audio, clean_audio, train=True,
-                si_sdr_weight=si_sdr_weight,
+                si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
             )
             return total, (losses, new_bs)
 
@@ -140,7 +159,7 @@ def make_mask_steps(si_sdr_weight: float = 0.0):
     def eval_step(state: TrainState, noisy_audio, clean_audio):
         _, losses, _ = _mask_losses(
             state, state.params, noisy_audio, clean_audio, train=False,
-            si_sdr_weight=si_sdr_weight,
+            si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
         )
         return losses
 

@@ -164,6 +164,33 @@ class TestMaskTraining:
         t1 = float(ev1(state, noisy, clean).total)
         assert t0 != t1
 
+    def test_si_sdr_clamp_saturates_passthrough_reward(self, rng):
+        """With a residual identity-init mask and clean==noisy input, the
+        unclamped reward is the ~110 dB pass-through SI-SDR; clamping at
+        30 dB caps it exactly (total_clamped - total_unclamped
+        == w*(sdr-30)/20), and kills the gradient that otherwise pins the
+        model to the identity (the round-3 noise_cancellation failure)."""
+        from audiodenoiser_tpu.train.mask import SI_SDR_SCALE, make_mask_steps
+
+        model = ComplexMaskUNet(
+            features=(4, 8), bottleneck=16, residual=True, zero_out_init=True
+        )
+        state = create_mask_train_state(jax.random.key(0), model)
+        clean = jnp.asarray(
+            np.clip(rng.standard_normal((2, 16000)) * 0.2, -1, 1).astype(np.float32)
+        )
+        w = 1.0
+        _, ev_raw = make_mask_steps(w)
+        _, ev_cl = make_mask_steps(w, si_sdr_clamp=30.0)
+        _, ev_0 = make_mask_steps(0.0)
+        t_raw = float(ev_raw(state, clean, clean).total)
+        t_cl = float(ev_cl(state, clean, clean).total)
+        t_0 = float(ev_0(state, clean, clean).total)
+        sdr_raw = (t_0 - t_raw) * SI_SDR_SCALE / w  # implied mean SI-SDR
+        sdr_cl = (t_0 - t_cl) * SI_SDR_SCALE / w
+        assert sdr_raw > 60.0  # identity-init pass-through is near-perfect
+        np.testing.assert_allclose(sdr_cl, 30.0, atol=1e-3)
+
 
 class TestFusedInference:
     def test_denoise_waveform_shape(self, rng):
