@@ -75,6 +75,13 @@ def parse_args(argv=None):
         help="channel-TP degree on the device mesh; the data axis takes "
         "the remaining devices (n_devices / model_parallel).",
     )
+    p.add_argument(
+        "--bypass_db", type=float, default=40.0,
+        help="identity-bypass gate for waveform-domain evals (complex_mask "
+        "and routed-waveform): clips whose relative model-change energy is "
+        "below -bypass_db are emitted bit-exactly as the input (the model "
+        "judged them clean). <=0 disables.",
+    )
     return p.parse_args(argv)
 
 
@@ -145,7 +152,7 @@ def main(argv=None):
             return evaluate_routed_waveform(
                 mixture, args.clean_dir, args.noise_dir, args.output_dir,
                 noise_types=args.noise_types, sample_rate=args.sample_rate,
-                seed=args.seed,
+                seed=args.seed, bypass_db=args.bypass_db,
             )
         from audiodenoiser_tpu.eval.ensemble import make_a2a_mesh
 
@@ -193,7 +200,7 @@ def main(argv=None):
                 output_dir=args.output_dir, sample_rate=args.sample_rate,
                 n_fft=args.n_fft, hop_length=args.hop_length,
                 num_audio_examples=args.num_audio_examples, seed=args.seed,
-                mesh=mesh,
+                mesh=mesh, bypass_db=args.bypass_db,
             )
         return results
     for noise_type in args.noise_types:
