@@ -109,7 +109,7 @@ def main(argv=None):
                   mixture.router_window)
         expert_runners = {
             i: DenoiserRunner(
-                mixture.expert_model, mixture.expert_vars[i],
+                mixture.expert_models[i], mixture.expert_vars[i],
                 precision=path, mesh=mesh,
             )
             for i in range(len(NOISE_CLASSES))

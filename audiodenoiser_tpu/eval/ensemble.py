@@ -85,7 +85,12 @@ class MixtureOfDenoisers:
 
     Args:
       experts: mapping ``noise_type -> (model, variables)`` for every name
-        in :data:`NOISE_CLASSES` (all experts share one module definition).
+        in :data:`NOISE_CLASSES`. Experts may carry *different* module
+        configurations (e.g. mask specialists exported with different
+        ``mask_bound``/``residual`` sidecars) — the host-bucketed dispatch
+        paths apply each expert's variables through its own module. The
+        expert-parallel mesh paths (``denoise_ep*``) stack weights across
+        devices and therefore require a homogeneous expert config.
       router_params: trained ``NoiseClassifier`` params
         (``train.router.fit_router``).
       router_model: optional override of the classifier architecture.
@@ -112,7 +117,8 @@ class MixtureOfDenoisers:
         self.router_model = router_model or NoiseClassifier()
         self.router_params = router_params
         self.router_window = tuple(router_window)
-        self.expert_model = experts[NOISE_CLASSES[0]][0]
+        self.expert_models = [experts[nt][0] for nt in NOISE_CLASSES]
+        self.expert_model = self.expert_models[0]
         self.expert_vars = [experts[nt][1] for nt in NOISE_CLASSES]
         self._stacked = None  # built lazily: only the EP path pays for it
         self._ep_cache: dict = {}  # mesh -> (jitted fn, sharded stack)
@@ -124,14 +130,23 @@ class MixtureOfDenoisers:
                 windowed_logits(self.router_model, p, x, self.router_window), -1
             )
         )
-        self._forward = jax.jit(
-            lambda v, x: self.expert_model.apply(v, x, train=False)
-        )
+        self._forwards = [
+            jax.jit(lambda v, x, m=m: m.apply(v, x, train=False))
+            for m in self.expert_models
+        ]
 
     @property
     def stacked_vars(self):
         """Expert variables stacked on a leading axis (built on first use —
-        it costs a full extra copy of every expert's weights)."""
+        it costs a full extra copy of every expert's weights). Requires a
+        homogeneous expert config: the EP mesh paths run every stacked
+        slice through one module definition."""
+        if any(m != self.expert_model for m in self.expert_models):
+            raise ValueError(
+                "expert-parallel dispatch requires all experts to share "
+                "one module config; these experts differ (e.g. mask_bound/"
+                "residual sidecars) — use the host-bucketed denoise paths"
+            )
         if self._stacked is None:
             self._stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
@@ -170,47 +185,62 @@ class MixtureOfDenoisers:
         return self._classify_wave(self.router_params, wavs)
 
     def _wave_forward(self):
-        """Jitted waveform-in/waveform-out forward for one expert's
-        variables — noisy-phase reconstruction for the magnitude family,
-        fused complex masking for the mask family."""
-        if hasattr(self, "_wave_fwd"):
-            return self._wave_fwd
+        """Per-expert jitted waveform-in/waveform-out forwards —
+        noisy-phase reconstruction for the magnitude family, fused complex
+        masking for the mask family. One compiled fn per expert so mixed
+        expert configurations (e.g. specialists exported with different
+        ``mask_bound``/``residual``) each run through their own module."""
+        if hasattr(self, "_wave_fwds"):
+            return self._wave_fwds
         import audiodenoiser_tpu.dsp.stft as stft_lib
 
         n_fft, hop = self.n_fft, self.hop
-        if self.family == "mask":
-            from audiodenoiser_tpu.models.complex_mask import denoise_waveform
 
-            def fwd(v, a):
-                # the canonical fused masking graph — one implementation
-                return denoise_waveform(self.expert_model, v, a, n_fft, hop)
-        else:
+        def make_fwd(model):
+            if self.family == "mask":
+                from audiodenoiser_tpu.models.complex_mask import (
+                    denoise_waveform,
+                )
 
-            def fwd(v, a):
-                # hop-align so the istft covers every real sample (the
-                # center-STFT round trip drops the last n mod hop samples)
-                n = a.shape[-1]
-                rem = (-n) % hop
-                if rem:
-                    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, rem)])
-                spec = stft_lib.stft(a, n_fft, hop, center=True)
-                mag, phase = stft_lib.magphase(spec)
-                den = self.expert_model.apply(
-                    v, mag[..., None], train=False
-                )[..., 0]
-                rec = jnp.maximum(den, 0.0).astype(jnp.complex64) * phase
-                return stft_lib.istft(
-                    rec, hop, n_fft=n_fft, center=True, length=a.shape[-1]
-                )[..., :n]
+                def fwd(v, a):
+                    # the canonical fused masking graph — one implementation
+                    return denoise_waveform(model, v, a, n_fft, hop)
+            else:
 
-        self._wave_fwd = jax.jit(fwd)
-        return self._wave_fwd
+                def fwd(v, a):
+                    # hop-align so the istft covers every real sample (the
+                    # center-STFT round trip drops the last n mod hop
+                    # samples)
+                    n = a.shape[-1]
+                    rem = (-n) % hop
+                    if rem:
+                        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, rem)])
+                    spec = stft_lib.stft(a, n_fft, hop, center=True)
+                    mag, phase = stft_lib.magphase(spec)
+                    den = model.apply(v, mag[..., None], train=False)[..., 0]
+                    rec = jnp.maximum(den, 0.0).astype(jnp.complex64) * phase
+                    return stft_lib.istft(
+                        rec, hop, n_fft=n_fft, center=True, length=a.shape[-1]
+                    )[..., :n]
 
-    def denoise_waveform(self, wavs: jax.Array, labels=None) -> jax.Array:
+            return jax.jit(fwd)
+
+        # identical configs share one compiled fn (the common case)
+        cache: dict = {}
+        self._wave_fwds = [
+            cache.setdefault(m, make_fwd(m)) for m in self.expert_models
+        ]
+        return self._wave_fwds
+
+    def denoise_waveform(
+        self, wavs: jax.Array, labels=None, bypass_db=None
+    ) -> jax.Array:
         """Routed waveform-in/waveform-out denoising — works for BOTH
         specialist families (the router always reads noisy magnitudes):
         magnitude experts reconstruct with the noisy phase, mask experts
-        run the fused complex-masking graph."""
+        run the fused complex-masking graph. ``bypass_db`` applies the
+        :func:`eval.runner.identity_bypass` gate (bit-exact pass-through
+        on clips the routed specialist barely changed)."""
         squeeze = wavs.ndim == 1
         if squeeze:
             wavs = wavs[jnp.newaxis]
@@ -221,12 +251,17 @@ class MixtureOfDenoisers:
                 np.asarray(labels), np.asarray(wavs), self._wave_forward()
             )
         )
+        if bypass_db is not None:
+            from audiodenoiser_tpu.eval.runner import identity_bypass
+
+            out = identity_bypass(out, wavs, jnp.float32(bypass_db))
         return out[0] if squeeze else out
 
-    def _bucketed_dispatch(self, labels, xs, fwd) -> np.ndarray:
+    def _bucketed_dispatch(self, labels, xs, fwds) -> np.ndarray:
         """Group rows by routed expert, pad each group to the next power of
-        two (bounded compile set), forward once per expert, scatter back —
-        the shared engine behind spectrogram- and waveform-level routing."""
+        two (bounded compile set), forward once per expert (through that
+        expert's own jitted fn), scatter back — the shared engine behind
+        spectrogram- and waveform-level routing."""
         out = np.empty_like(xs)
         for e in range(len(NOISE_CLASSES)):
             idx = np.nonzero(labels == e)[0]
@@ -239,7 +274,7 @@ class MixtureOfDenoisers:
                     [sub, np.zeros((padded - idx.size, *sub.shape[1:]),
                                    sub.dtype)]
                 )
-            y = fwd(self.expert_vars[e], jnp.asarray(sub))
+            y = fwds[e](self.expert_vars[e], jnp.asarray(sub))
             out[idx] = np.asarray(y)[: idx.size]
         return out
 
@@ -258,7 +293,7 @@ class MixtureOfDenoisers:
             labels = self.classify(specs)
         return jnp.asarray(
             self._bucketed_dispatch(
-                np.asarray(labels), np.asarray(specs), self._forward
+                np.asarray(labels), np.asarray(specs), self._forwards
             )
         )
 
@@ -545,11 +580,14 @@ def evaluate_routed_waveform(
     snr_db: float = 8.0,
     reverb_wet_level: float = 0.35,
     seed: int = 0,
+    bypass_db=40.0,
 ) -> dict:
     """Auto-routed waveform-domain eval (either family): corrupt the test
     wavs on device per noise type, route with the noisy-magnitude router,
     denoise through the routed specialists, and score true SI-SDR. Writes
-    ``{nt}_routed_metrics.txt``."""
+    ``{nt}_routed_metrics.txt``. ``bypass_db`` (default 40, ``None``/<=0
+    disables) gates bit-exact pass-through of clips the specialist barely
+    changed (see ``eval.runner.identity_bypass``)."""
     import os
 
     from audiodenoiser_tpu.data.builders import _corrupt_and_featurize
@@ -591,7 +629,9 @@ def evaluate_routed_waveform(
         # on that magnitude instead of re-STFTing inside classify_waveform
         pred = np.asarray(mixture.classify(noisy_mag[..., None]))
         acc = float(np.mean(pred == NOISE_CLASSES.index(nt)))
-        den = mixture.denoise_waveform(noisy, labels=pred)
+        if bypass_db is not None and bypass_db <= 0:
+            bypass_db = None
+        den = mixture.denoise_waveform(noisy, labels=pred, bypass_db=bypass_db)
         sn = np.asarray(si_sdr(noisy, clean))
         sd = np.asarray(si_sdr(den, clean))
         # robust aggregates alongside the plain mean (see eval.runner:

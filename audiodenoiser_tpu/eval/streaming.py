@@ -225,7 +225,7 @@ class RoutedStreamingSession:
         key = (label, self.chunk, self.sample_rate, self.precision, mode)
         if key not in cache:
             runner = DenoiserRunner(
-                self.mixture.expert_model,
+                self.mixture.expert_models[label],
                 self.mixture.expert_vars[label],
                 n_fft=self.mixture.n_fft,
                 hop_length=self.mixture.hop,

@@ -101,6 +101,52 @@ def test_bucketed_dispatch_matches_expert_choice(mixture, rng):
         np.testing.assert_allclose(out[i], np.asarray(want)[0], atol=1e-5)
 
 
+def test_heterogeneous_expert_configs_dispatch_through_own_module(rng):
+    """Regression: experts exported with different module configs (e.g.
+    mask_bound/residual sidecars) must each forward through their OWN
+    module, not the first expert's — round 3 found the routed eval
+    applying a residual-mask expert's weights through a non-residual
+    module, producing garbage audio despite perfect routing."""
+    from audiodenoiser_tpu.models.complex_mask import ComplexMaskUNet
+
+    cfgs = [
+        dict(mask_bound=2.0, residual=False),
+        dict(mask_bound=8.0, residual=True),
+        dict(mask_bound=2.0, residual=True),
+        dict(mask_bound=4.0, residual=False),
+    ]
+    experts = {}
+    for i, nt in enumerate(NOISE_CLASSES):
+        m = ComplexMaskUNet(dtype=jnp.float32, **THIN, **cfgs[i])
+        v = jax.jit(lambda k, m=m: m.init(k, jnp.zeros((1, 64, 64, 3))))(
+            jax.random.key(i)
+        )
+        experts[nt] = (m, v)
+    router = NoiseClassifier()
+    router_params = router.init(
+        jax.random.key(99), jnp.zeros((1, 64, 64, 1))
+    )["params"]
+    mix = MixtureOfDenoisers(
+        experts, router_params, router_model=router, family="mask"
+    )
+    wavs = jnp.asarray(
+        0.2 * rng.standard_normal((4, 4096)).astype(np.float32)
+    )
+    labels = np.arange(4)  # one clip per expert, forced
+    out = np.asarray(mix.denoise_waveform(wavs, labels=labels))
+    from audiodenoiser_tpu.models.complex_mask import denoise_waveform
+
+    for i, nt in enumerate(NOISE_CLASSES):
+        m, v = experts[nt]
+        want = np.asarray(
+            denoise_waveform(m, v, wavs[i : i + 1], mix.n_fft, mix.hop)
+        )[0]
+        np.testing.assert_allclose(out[i], want, atol=1e-5)
+    # the EP stacked path cannot run mixed configs — it must say so
+    with pytest.raises(ValueError, match="homogeneous|share"):
+        _ = mix.stacked_vars
+
+
 def test_load_mixture_and_evaluate_routed(tmp_path, mixture, rng):
     """Round-trip the saved_models workflow: export 4 specialist ckpts +
     router, reload via load_mixture, run the auto-routed eval over

@@ -138,7 +138,7 @@ class TestRoutedStreaming:
         # same stream must produce identical audio
         label = NOISE_CLASSES.index(sess.chosen)
         runner = DenoiserRunner(
-            routed_parts.expert_model, routed_parts.expert_vars[label]
+            routed_parts.expert_models[label], routed_parts.expert_vars[label]
         )
         ref_sess = StreamingDenoiser(runner, 2048).session()
         ref_pieces = [ref_sess.process(x), ref_sess.flush()]
@@ -172,26 +172,17 @@ class TestRoutedStreaming:
             hop = 128
 
             def __init__(self):
-                self._models = [_IdentityNet(), _DoubleNet()]
+                # per-expert module configs are first-class now
+                self.expert_models = [_IdentityNet(), _DoubleNet()]
                 self.expert_vars = [{}, {}]
-
-            @property
-            def expert_model(self):
-                # RoutedStreamingSession builds a runner per label with
-                # expert_vars[label]; give each label its own module by
-                # intercepting the cache key via vars identity — simplest:
-                # one module that dispatches on which vars dict arrives
-                return self._models[self._current]
 
             def classify_waveform(self, w):
                 import jax.numpy as jnp
 
                 loud = jnp.mean(jnp.abs(w)) > 0.3
-                self._current = int(loud)
                 return jnp.asarray([jnp.where(loud, 1, 0)])
 
         mix = _FakeMixture()
-        mix._current = 0
         chunk = 2048
         sess = RoutedStreamingSession(mix, chunk_samples=chunk,
                                       reclassify_every=1)
