@@ -645,6 +645,37 @@ def evaluate_routed_waveform(
             "si_sdr_median_noisy": float(np.median(sn)),
             "si_sdr_median": float(np.median(sd)),
         }
+        # STOI/PESQ like the known-type waveform eval (skipped, not fatal,
+        # on clips too short for their analysis windows)
+        clean_np = np.asarray(clean)
+        noisy_np = np.asarray(noisy)
+        den_np = np.asarray(den)
+        try:
+            from audiodenoiser_tpu.eval.metrics import stoi
+
+            metrics["stoi_noisy"] = float(np.mean([
+                stoi(clean_np[i], noisy_np[i], sample_rate)
+                for i in range(clean_np.shape[0])
+            ]))
+            metrics["stoi"] = float(np.mean([
+                stoi(clean_np[i], den_np[i], sample_rate)
+                for i in range(clean_np.shape[0])
+            ]))
+        except ValueError:
+            pass
+        try:
+            from audiodenoiser_tpu.eval.metrics import pesq
+
+            metrics["pesq_noisy"] = float(np.mean([
+                pesq(clean_np[i], noisy_np[i], sample_rate)
+                for i in range(clean_np.shape[0])
+            ]))
+            metrics["pesq"] = float(np.mean([
+                pesq(clean_np[i], den_np[i], sample_rate)
+                for i in range(clean_np.shape[0])
+            ]))
+        except ValueError:
+            pass
         print(f"\n=== Auto-routed waveform eval on noise type: {nt} ===")
         print(f"Routing accuracy: {acc:.3f}")
         print(
@@ -657,6 +688,14 @@ def evaluate_routed_waveform(
             f"{metrics['si_sdr_median_noisy']:.3f} -> "
             f"{metrics['si_sdr_median']:.3f} dB"
         )
+        if "stoi" in metrics:
+            print(
+                f"STOI: {metrics['stoi_noisy']:.4f} -> {metrics['stoi']:.4f}"
+            )
+        if "pesq" in metrics:
+            print(
+                f"PESQ: {metrics['pesq_noisy']:.3f} -> {metrics['pesq']:.3f}"
+            )
         with open(os.path.join(output_dir, f"{nt}_routed_metrics.txt"),
                   "w") as f:
             f.write(
@@ -680,6 +719,12 @@ def evaluate_routed_waveform(
                 f"SI-SDR median denoised: "
                 f"{metrics['si_sdr_median']:.3f} dB\n"
             )
+            if "stoi" in metrics:
+                f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
+                f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
+            if "pesq" in metrics:
+                f.write(f"PESQ noisy: {metrics['pesq_noisy']:.3f}\n")
+                f.write(f"PESQ denoised: {metrics['pesq']:.3f}\n")
         results[nt] = metrics
     return results
 

@@ -147,6 +147,49 @@ def test_heterogeneous_expert_configs_dispatch_through_own_module(rng):
         _ = mix.stacked_vars
 
 
+def test_evaluate_routed_waveform_reports_full_metrics(tmp_path, rng):
+    """The routed waveform eval must report SI-SDR aggregates AND
+    STOI/PESQ (clips here are long enough for both analysis windows),
+    and write the {nt}_routed_metrics.txt artifact."""
+    from audiodenoiser_tpu.data.wav_io import write_wav
+    from audiodenoiser_tpu.eval.ensemble import evaluate_routed_waveform
+    from audiodenoiser_tpu.models.complex_mask import ComplexMaskUNet
+
+    experts = {}
+    m = ComplexMaskUNet(dtype=jnp.float32, **THIN, residual=True)
+    v = jax.jit(lambda k: m.init(k, jnp.zeros((1, 64, 64, 3))))(
+        jax.random.key(0)
+    )
+    for nt in NOISE_CLASSES:
+        experts[nt] = (m, v)
+    router = NoiseClassifier()
+    router_params = router.init(
+        jax.random.key(9), jnp.zeros((1, 64, 64, 1))
+    )["params"]
+    mix = MixtureOfDenoisers(
+        experts, router_params, router_model=router, family="mask"
+    )
+    cd = tmp_path / "clean"
+    cd.mkdir()
+    t = np.arange(8000) / 8000.0
+    for i in range(2):
+        write_wav(
+            str(cd / f"c{i}.wav"),
+            (0.4 * np.sin(2 * np.pi * (300 + 80 * i) * t)).astype(np.float32),
+            8000,
+        )
+    res = evaluate_routed_waveform(
+        mix, str(cd), str(tmp_path / "noise"), str(tmp_path / "out"),
+        noise_types=("white",),
+    )
+    got = res["white"]
+    for k in ("routing_accuracy", "si_sdr", "si_sdr30", "si_sdr_median",
+              "stoi", "pesq", "stoi_noisy", "pesq_noisy"):
+        assert k in got, k
+    txt = (tmp_path / "out" / "white_routed_metrics.txt").read_text()
+    assert "STOI denoised" in txt and "PESQ denoised" in txt
+
+
 def test_load_mixture_and_evaluate_routed(tmp_path, mixture, rng):
     """Round-trip the saved_models workflow: export 4 specialist ckpts +
     router, reload via load_mixture, run the auto-routed eval over
