@@ -59,6 +59,13 @@ def parse_args(argv=None):
         "dispatched to the predicted specialist (requires "
         "noise_router.ckpt; see cli.train --model router).",
     )
+    p.add_argument(
+        "--bypass_db", type=float, default=None,
+        help="identity-bypass gate: clips whose relative model-change "
+        "energy is below -bypass_db are returned verbatim (bit-exact "
+        "pass-through of clips the model judged clean; 40 is the eval "
+        "default). Off unless set; <=0 disables.",
+    )
     return p.parse_args(argv)
 
 
@@ -132,6 +139,7 @@ def main(argv=None):
         router=router,
         expert_runners=expert_runners,
         auto_expert_mode=auto_expert_mode,
+        bypass_db=args.bypass_db,
     )
     # chunked low-latency streaming sessions (POST /stream/start|{id}):
     # one shared StreamingDenoiser so sessions reuse its compiled graphs

@@ -84,6 +84,9 @@ class DenoiseService:
         expert_runners=None,  # {label_index: DenoiserRunner} for mode='auto'
         auto_expert_mode: str = "noisy_phase",  # reconstruction mode the
         # routed specialists run ('complex_mask' for the mask family)
+        bypass_db=None,  # identity-bypass gate threshold (dB); clips the
+        # model barely changed are returned verbatim (eval.runner
+        # .identity_bypass). None/<=0 disables.
     ):
         self.runner = runner
         self.sample_rate = sample_rate
@@ -91,6 +94,9 @@ class DenoiseService:
         self.max_samples = int(max_seconds * sample_rate)
         self.default_mode = default_mode
         self.max_batch = max_batch
+        self.bypass_db = (
+            None if bypass_db is not None and bypass_db <= 0 else bypass_db
+        )
         self._key = jax.random.key(0)
         self.requests_served = 0
         self.batches_run = 0
@@ -146,11 +152,13 @@ class DenoiseService:
                 jax.block_until_ready(self._classify(z))
                 for runner in self.expert_runners.values():
                     out = runner.denoise_audio(z, self._key,
-                                               mode=self.auto_expert_mode)
+                                               mode=self.auto_expert_mode,
+                                               bypass_db=self.bypass_db)
                     jax.block_until_ready(out)
             else:
                 out = self.runner.denoise_audio(
-                    z, self._key, mode=self.default_mode
+                    z, self._key, mode=self.default_mode,
+                    bypass_db=self.bypass_db,
                 )
                 jax.block_until_ready(out)
 
@@ -200,7 +208,7 @@ class DenoiseService:
                 out = np.asarray(
                     self.runner.denoise_audio(
                         jax.numpy.asarray(stacked), self._key,
-                        mode=first.mode,
+                        mode=first.mode, bypass_db=self.bypass_db,
                     )
                 )
                 for i, r in enumerate(batch):
@@ -231,7 +239,7 @@ class DenoiseService:
             out = np.asarray(
                 runner.denoise_audio(
                     jax.numpy.asarray(sub), self._key,
-                    mode=self.auto_expert_mode
+                    mode=self.auto_expert_mode, bypass_db=self.bypass_db,
                 )
             )
             for j, i in enumerate(idx):

@@ -176,7 +176,7 @@ class TestMicroBatching:
             def __init__(self):
                 self.batch_sizes = []
 
-            def denoise_audio(self, audio, key, mode="noisy_phase"):
+            def denoise_audio(self, audio, key, mode="noisy_phase", **kw):
                 self.batch_sizes.append(audio.shape[0])
                 _time.sleep(delay)  # device "busy": lets followers pile up
                 return audio  # identity
@@ -240,7 +240,7 @@ class TestMicroBatching:
 
     def test_error_propagates_to_caller(self):
         class BoomRunner:
-            def denoise_audio(self, audio, key, mode="noisy_phase"):
+            def denoise_audio(self, audio, key, mode="noisy_phase", **kw):
                 raise RuntimeError("boom")
 
         service = DenoiseService(BoomRunner(), bucket_samples=4000)
@@ -385,3 +385,33 @@ class TestFairnessAndBackpressure:
         assert errors, "expected at least one overload rejection"
         assert oks, "some requests should still succeed"
         assert len(oks) + len(errors) == 12
+
+
+class TestServingBypassGate:
+    def test_gate_passes_clean_clips_through_verbatim(self, rng):
+        """With a forced-identity network the noisy_phase path reduces to
+        istft(stft(x)) ~= x (~ -60 dB change): the gate at 40 dB fires
+        and the service returns the input bit-exactly, while the ungated
+        service returns the float-level-different reconstruction."""
+        from audiodenoiser_tpu.models import UNet as RealUNet
+
+        class Identity(RealUNet):
+            def __call__(self, x, train=False):
+                return x
+
+        runner = DenoiserRunner(Identity(), {})
+        audio = np.clip(
+            rng.standard_normal(4000) * 0.2, -1, 1
+        ).astype(np.float32)
+        gated = DenoiseService(
+            runner, bucket_samples=8000, bypass_db=40.0
+        ).denoise(audio)
+        np.testing.assert_array_equal(gated, audio)
+        plain = DenoiseService(runner, bucket_samples=8000).denoise(audio)
+        assert not np.array_equal(plain, audio)
+        np.testing.assert_allclose(plain, audio, atol=1e-3)
+        # <=0 disables: identical to the default-off service
+        off = DenoiseService(
+            runner, bucket_samples=8000, bypass_db=0.0
+        ).denoise(audio)
+        np.testing.assert_array_equal(off, plain)
