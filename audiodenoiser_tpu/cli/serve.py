@@ -16,7 +16,12 @@ import argparse
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="HTTP denoising service")
     p.add_argument("--noise_type", default="white",
-                   choices=["white", "urban", "reverb", "noise_cancellation"])
+                   choices=["white", "urban", "reverb", "noise_cancellation",
+                            "mixed"],
+                   help="which specialized checkpoint to serve; 'mixed' "
+                   "serves the universal model ({stem}_mixed.ckpt, trained "
+                   "with cli.train --noise_type mixed) — the recommended "
+                   "one-checkpoint deployment for the mask family.")
     p.add_argument("--saved_models_dir", default="./saved_models")
     p.add_argument("--model", choices=["unet", "complex_mask"], default="unet")
     p.add_argument("--host", default="127.0.0.1")
