@@ -154,6 +154,10 @@ def run_train_bench(batch_size: int = 256, iters: int = 10,
     batch 256 bf16 — the number README quotes must be measured, not prose
     (VERDICT r1 weak #5). TFLOP/s comes from XLA's own cost analysis of the
     compiled step when the backend exposes it.
+
+    256 is the measured v5e-1 sweet spot: 512 gains only +1.7% TFLOP/s
+    (112.9 vs 111.0) for 2x the step latency, and 1024 fails to compile
+    (exceeds HBM with the donated optimizer state) — measured round 3.
     """
     import jax
     import jax.numpy as jnp
@@ -198,6 +202,49 @@ def run_train_bench(batch_size: int = 256, iters: int = 10,
     return out
 
 
+def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
+                     sample_rate: int = 8000) -> dict:
+    """Streaming realtime factor on the flagship model: wall-clock to push
+    ``total_seconds`` of audio through a device-resident WOLA session in
+    ``packet_seconds`` packets (one dispatch per packet). RTF > 1 means
+    faster than realtime; README's 29x at 1 s packets becomes a
+    driver-recorded number instead of prose."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiodenoiser_tpu.eval.runner import DenoiserRunner
+    from audiodenoiser_tpu.eval.streaming import StreamingDenoiser
+    from audiodenoiser_tpu.models import UNet
+    from audiodenoiser_tpu.train.loop import create_train_state
+
+    model = UNet(dtype=jnp.bfloat16)
+    state = create_train_state(jax.random.key(0), model,
+                               input_shape=(1, 256, 64, 1))
+    runner = DenoiserRunner(
+        model, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    chunk = int(packet_seconds * sample_rate)
+    chunk -= chunk % 2  # WOLA needs an even chunk
+    sess = StreamingDenoiser(runner, chunk_samples=chunk,
+                             sample_rate=sample_rate).session()
+    rng = np.random.default_rng(0)
+    packet = np.clip(
+        0.2 * rng.standard_normal(chunk), -1, 1
+    ).astype(np.float32)
+    sess.process(packet)  # warmup: first packet pays the compile
+    n = max(1, int(total_seconds / packet_seconds))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        sess.process(packet)
+    sess.flush()
+    dt = time.perf_counter() - t0
+    return {
+        "stream_realtime_factor": round(n * packet_seconds / dt, 1),
+        "stream_packet_ms": round(dt / n * 1000.0, 1),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # 1024 is the measured single-chip throughput sweet spot on v5e-1
@@ -214,6 +261,8 @@ def main(argv=None):
     p.add_argument("--no_train", action="store_true",
                    help="skip the training-throughput measurement")
     p.add_argument("--train_batch_size", type=int, default=256)
+    p.add_argument("--no_stream", action="store_true",
+                   help="skip the streaming realtime-factor measurement")
     args = p.parse_args(argv)
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
@@ -224,6 +273,8 @@ def main(argv=None):
         # fold the training numbers into the same single JSON line the
         # driver records (metric/value/unit/vs_baseline stay the headline)
         result.update(run_train_bench(args.train_batch_size))
+    if not args.no_stream:
+        result.update(run_stream_bench())
     print(json.dumps(result))
 
 

@@ -446,6 +446,20 @@ class TestBench:
         assert base <= set(r)
         assert set(r) <= base | {"infer_tflops_per_sec", "infer_hbm_gb_per_sec"}
 
+    def test_stream_bench_runs_on_cpu_small(self, monkeypatch):
+        import audiodenoiser_tpu.models as models_mod
+        from audiodenoiser_tpu.eval.bench import run_stream_bench
+        from audiodenoiser_tpu.models import UNet as RealUNet
+
+        monkeypatch.setattr(
+            models_mod, "UNet",
+            lambda dtype: RealUNet(features=(4, 8), bottleneck=16,
+                                   dtype=dtype),
+        )
+        r = run_stream_bench(packet_seconds=0.25, total_seconds=1.0)
+        assert r["stream_realtime_factor"] > 0
+        assert r["stream_packet_ms"] > 0
+
 
 class TestEvalBatching:
     def test_batched_eval_matches_single_shot(self, tmp_path, rng):
