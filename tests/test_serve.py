@@ -415,3 +415,21 @@ class TestServingBypassGate:
             runner, bucket_samples=8000, bypass_db=0.0
         ).denoise(audio)
         np.testing.assert_array_equal(off, plain)
+
+
+class TestServeCLIArgs:
+    def test_mixed_noise_type_accepted(self):
+        from audiodenoiser_tpu.cli.serve import parse_args
+
+        args = parse_args(
+            ["--noise_type", "mixed", "--model", "complex_mask",
+             "--bypass_db", "40"]
+        )
+        assert args.noise_type == "mixed"
+        assert args.bypass_db == 40.0
+
+    def test_unknown_noise_type_rejected(self):
+        from audiodenoiser_tpu.cli.serve import parse_args
+
+        with pytest.raises(SystemExit):
+            parse_args(["--noise_type", "pink"])
