@@ -303,6 +303,14 @@ def _train_pp(args, cfg, train_batches, val_batches):
         )
         start_epoch = int(restored["epoch"]) + 1
         best_val = float(restored["best_val"])
+        # --ckpt_every makes the resume state coarser than the per-epoch
+        # best export; the best sidecar keeps best_val honest (see fit())
+        meta = os.path.join(ckpt_dir, "best_model.val.json")
+        if os.path.exists(meta):
+            import json as _json
+
+            with open(meta) as f:
+                best_val = min(best_val, float(_json.load(f)["val_loss"]))
         logger.info(
             f"Resumed from epoch {start_epoch} (best val {best_val:.6f})"
         )
@@ -310,10 +318,16 @@ def _train_pp(args, cfg, train_batches, val_batches):
     eff = M * mb * dp
 
     def prep(x):
+        """Pack a host batch into (M, mb*dp, ...) microbatch layout.
+
+        Ragged batches are wrap-padded to the static shape; the returned
+        real-row count lets callers drop (train) or trim (val) the
+        duplicated rows instead of silently double-weighting them."""
         x = np.asarray(x, np.float32)
-        if x.shape[0] != eff:  # wrap-pad ragged final batches
-            x = x[np.arange(eff) % x.shape[0]]
-        return jnp.asarray(x.reshape(M, mb * dp, *x.shape[1:]))
+        n = x.shape[0]
+        if n != eff:
+            x = x[np.arange(eff) % n]
+        return jnp.asarray(x.reshape(M, mb * dp, *x.shape[1:])), n
 
     @jax.jit
     def val_loss_fn(out, clean):
@@ -331,18 +345,37 @@ def _train_pp(args, cfg, train_batches, val_batches):
         )
         train_losses = []
         for noisy, clean in batches_iter:
-            state, loss = trainer.step(state, prep(noisy), prep(clean))
+            pn, n = prep(noisy)
+            pc, _ = prep(clean)
+            if n != eff and train_losses:
+                # ragged final batch: wrap-padding would give repeated
+                # rows up to eff/n times their gradient weight — drop it
+                # (standard drop-tail) since full batches exist this epoch
+                logger.info(
+                    f"  dropping ragged final batch ({n} < {eff} rows)"
+                )
+                continue
+            state, loss = trainer.step(state, pn, pc)
             train_losses.append(float(loss))
         train_loss = float(np.mean(train_losses)) if train_losses else float("nan")
         writer.add_scalar("Loss/train", train_loss, epoch)
-        val_losses = []
+        val_losses = []  # (batch loss over REAL rows, n_real)
         for noisy, clean in val_batches():
-            out = trainer.forward(state, prep(noisy))
-            flat = out.reshape(-1, *out.shape[2:])
-            flat_c = prep(clean).reshape(-1, *out.shape[2:])
-            val_losses.append(float(val_loss_fn(flat, flat_c)))
+            pn, n = prep(noisy)
+            pc, _ = prep(clean)
+            out = trainer.forward(state, pn)
+            flat = out.reshape(-1, *out.shape[2:])[:n]
+            flat_c = pc.reshape(-1, *out.shape[2:])[:n]
+            val_losses.append((float(val_loss_fn(flat, flat_c)), n))
         val_loss = (
-            float(np.mean(val_losses)) if val_losses else train_loss
+            float(
+                np.average(
+                    [v for v, _ in val_losses],
+                    weights=[n for _, n in val_losses],
+                )
+            )
+            if val_losses
+            else train_loss
         )
         writer.add_scalar("Loss/validation", val_loss, epoch)
         dt = _time.perf_counter() - t0
@@ -358,17 +391,28 @@ def _train_pp(args, cfg, train_batches, val_batches):
             best_val = val_loss
             full = trainer.unpack_state(state)
             export_model(best_path, full["params"], full["batch_stats"])
+            import json as _json
+
+            with open(os.path.splitext(best_path)[0] + ".val.json",
+                      "w") as f:
+                _json.dump({"val_loss": best_val, "epoch": epoch}, f)
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
-        ckpt_lib.save_train_state(
-            resume_dir,
-            {
-                "state": jax.device_get(state),
-                "epoch": epoch,
-                "best_val": best_val,
-            },
-        )
+        if (
+            (epoch + 1) % max(1, cfg.ckpt_every) == 0
+            or epoch == cfg.epochs - 1
+        ):
+            # honor --ckpt_every like the monolithic path: full-state
+            # orbax saves dominated short epochs on the slow-IO host
+            ckpt_lib.save_train_state(
+                resume_dir,
+                {
+                    "state": jax.device_get(state),
+                    "epoch": epoch,
+                    "best_val": best_val,
+                },
+            )
     writer.close()
     logger.info("--- Training Finished ---")
     if args.export_dir and args.noise_type:
@@ -617,7 +661,13 @@ def main(argv=None):
         si_clamp = args.si_sdr_clamp if args.si_sdr_clamp > 0 else None
         bound = args.mask_bound
         if bound is None:
-            bound = 8.0 if args.noise_type == "noise_cancellation" else 2.0
+            # the mixed (universal) stream includes noise_cancellation, so
+            # it needs the same wide bound as the nc specialist
+            bound = (
+                8.0
+                if args.noise_type in ("noise_cancellation", "mixed")
+                else 2.0
+            )
         residual = args.mask_residual == "on"
         mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w,
                      "si_sdr_clamp": si_clamp, "residual": residual}
@@ -639,6 +689,17 @@ def main(argv=None):
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)
+
+    if mask_meta is not None and result.get("best_path"):
+        # sidecar BESIDE the run-dir checkpoint too: anyone loading
+        # best_model.ckpt directly (not via --export_dir) must be able to
+        # rebuild the trained mask head (bound/residual), else the loader
+        # silently instantiates the default head against these weights
+        import json
+
+        with open(os.path.splitext(result["best_path"])[0] + ".json",
+                  "w") as f:
+            json.dump(mask_meta, f)
 
     if args.export_dir and args.noise_type:
         import shutil

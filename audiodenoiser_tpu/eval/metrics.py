@@ -293,6 +293,11 @@ def pesq(reference: np.ndarray, degraded: np.ndarray, fs: int = 8000) -> float:
     # carry no disturbance weight in the standard's cognition model
     frame_e = rb.sum(axis=1)
     active = frame_e > frame_e.max() * 1e-6
+    if not active.any():
+        # all-silent reference: the empty active-frame means below would
+        # propagate NaN into the per-clip average; raise like stoi so
+        # callers' ValueError guards skip the clip instead
+        raise ValueError("reference is silent; PESQ undefined")
 
     # partial frequency-response compensation (applied to the reference):
     # per-band mean ratio over active frames, limited to +-20 dB

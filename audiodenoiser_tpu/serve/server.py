@@ -419,9 +419,25 @@ def make_http_server(
             if parsed.path.startswith("/stream"):
                 try:
                     self._handle_stream(parsed)
-                except Exception as e:
+                except ServiceOverloaded as e:
+                    self._send(
+                        503, json.dumps({"error": str(e)}).encode(),
+                        "application/json", {"Retry-After": "1"},
+                    )
+                except ValueError as e:
+                    # malformed payload/params: genuinely the client's fault
                     self._send(
                         400,
+                        json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"}
+                        ).encode(),
+                        "application/json",
+                    )
+                except Exception as e:
+                    # internal faults (device errors mid-process) must be
+                    # 5xx so clients retry and 5xx monitoring fires
+                    self._send(
+                        500,
                         json.dumps(
                             {"error": f"{type(e).__name__}: {e}"}
                         ).encode(),

@@ -291,10 +291,12 @@ def fit(
     best_val = float("inf")
     ema_params = None
     best_ema_val = float("inf")
+    resumed_step = 0
     resume_dir = os.path.join(ckpt_dir, "train_state")
     if config.resume and os.path.exists(resume_dir):
+        saved = ckpt_lib.saved_keys(resume_dir)
 
-        def try_restore(with_ema: bool):
+        def try_restore(with_ema: bool, with_step: bool):
             template = {
                 "state": jax.device_get(state),
                 "epoch": 0,
@@ -303,18 +305,21 @@ def fit(
             if with_ema:
                 template["ema"] = jax.device_get(state.params)
                 template["best_ema_val"] = 0.0
+            if with_step:
+                template["global_step"] = 0
             return ckpt_lib.restore_train_state(resume_dir, template)
 
         # checkpoints written with --ema_decay carry the EMA average; pick
         # the matching template by inspecting the checkpoint's saved keys
         # (orbax metadata) so a genuine restore failure surfaces instead of
         # being swallowed by a blanket fallback (ADVICE r2)
-        restored = try_restore("ema" in ckpt_lib.saved_keys(resume_dir))
+        restored = try_restore("ema" in saved, "global_step" in saved)
         state = restored["state"]
         if mesh is not None:
             state = shard_train_state(state, mesh, fsdp=config.fsdp)
         start_epoch = int(restored["epoch"]) + 1
         best_val = float(restored["best_val"])
+        resumed_step = int(restored.get("global_step", 0))
         if config.ema_decay and "ema" in restored:
             ema_params = jax.tree_util.tree_map(jnp.asarray, restored["ema"])
             best_ema_val = float(restored["best_ema_val"])
@@ -323,6 +328,31 @@ def fit(
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     best_ema_path = os.path.join(ckpt_dir, "best_model_ema.ckpt")
+    if config.resume:
+        # --ckpt_every makes the resume state coarser than the per-epoch
+        # best export: the restored best_val can be stale relative to an
+        # already-written better best_model.ckpt, and a resumed run with a
+        # worse val loss would silently overwrite it. Every best export
+        # records its val loss in a tiny sidecar; on resume the better
+        # (lower) of the two wins.
+        for p, attr in ((best_path, "best_val"),
+                        (best_ema_path, "best_ema_val")):
+            meta = os.path.splitext(p)[0] + ".val.json"
+            if os.path.exists(meta):
+                import json as _json
+
+                with open(meta) as f:
+                    recorded = float(_json.load(f)["val_loss"])
+                if attr == "best_val":
+                    best_val = min(best_val, recorded)
+                else:
+                    best_ema_val = min(best_ema_val, recorded)
+
+    def _record_best(path: str, val: float, epoch: int) -> None:
+        import json as _json
+
+        with open(os.path.splitext(path)[0] + ".val.json", "w") as f:
+            _json.dump({"val_loss": val, "epoch": epoch}, f)
     if config.ema_decay:
         if ema_params is None:
             ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
@@ -330,10 +360,12 @@ def fit(
 
     logger.info("--- Starting Training Loop ---")
     history = []
-    global_step = 0
-    log_t0 = time.perf_counter()
+    global_step = resumed_step  # TB step series stays monotonic on resume
     for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
+        # reset per-epoch so the first steps/s figure doesn't amortize the
+        # previous epoch's validation + checkpoint time
+        log_t0 = t0
         train_losses = []
         for noisy, clean in train_batches(epoch):
             state, losses = step_fn(state, place(noisy), place(clean))
@@ -400,6 +432,7 @@ def fit(
             ckpt_lib.export_model(
                 best_path, jax.device_get(state.params), jax.device_get(state.batch_stats)
             )
+            _record_best(best_path, best_val, epoch)
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
@@ -410,6 +443,7 @@ def fit(
                 jax.device_get(ema_params),
                 jax.device_get(state.batch_stats),
             )
+            _record_best(best_ema_path, best_ema_val, epoch)
             logger.info(
                 f"New best EMA model saved to {best_ema_path} "
                 f"(EMA Val Loss: {best_ema_val:.6f})"
@@ -422,6 +456,7 @@ def fit(
                 "state": jax.device_get(state),
                 "epoch": epoch,
                 "best_val": best_val,
+                "global_step": global_step,
             }
             if ema_params is not None:
                 payload["ema"] = jax.device_get(ema_params)

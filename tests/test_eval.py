@@ -179,6 +179,15 @@ class TestPesq:
         with pytest.raises(ValueError, match="64 ms"):
             pesq(np.zeros(400), np.zeros(400), 8000)
 
+    def test_silent_reference_raises_not_nan(self, rng):
+        """An all-zero reference previously produced NaN (empty
+        active-frame mean), silently poisoning the per-clip average the
+        eval drivers report; it must raise ValueError like stoi."""
+        from audiodenoiser_tpu.eval.metrics import pesq
+
+        with pytest.raises(ValueError, match="silent"):
+            pesq(np.zeros(8000), rng.standard_normal(8000), 8000)
+
 
 @pytest.fixture(scope="module")
 def tiny_runner():

@@ -318,6 +318,43 @@ class TestStreamingHTTP:
             self._post(f"{server_url}/stream/start")
         assert e.value.code == 404
 
+    def test_internal_stream_fault_is_500_not_400(self):
+        """A server-side failure mid-process (device error) must surface
+        as 5xx — clients treat 400 as their own fault and never retry,
+        and 5xx monitoring would stay silent."""
+
+        class _FaultySession:
+            latency_samples = 0
+
+            def process(self, samples):
+                raise RuntimeError("device exploded")
+
+            def flush(self):
+                return np.zeros(0, np.float32)
+
+        runner = DenoiserRunner(UNet(features=(4, 8), bottleneck=16), {})
+        service = DenoiseService.__new__(DenoiseService)  # no warmup path
+        service.sample_rate = 8000
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: _FaultySession(),
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            info = json.loads(
+                self._post(f"http://127.0.0.1:{port}/stream/start")
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._post(
+                    f"http://127.0.0.1:{port}/stream/{info['session']}",
+                    b"\x00" * 8,
+                )
+            assert e.value.code == 500
+        finally:
+            server.shutdown()
+
 
 class TestFairnessAndBackpressure:
     _service_with_fake_runner = TestMicroBatching._service_with_fake_runner

@@ -198,6 +198,28 @@ class TestFit:
         # resumed: only epoch index 2 runs
         assert [h["epoch"] for h in res2["history"]] == [2]
 
+        # every best export records its val loss in a sidecar, and a
+        # resume from a STALE state (ckpt_every window) must not let a
+        # worse model overwrite the best export: simulate by inflating
+        # the sidecar-recorded loss and checking resume takes the min
+        import json
+
+        meta_path = os.path.splitext(res["best_path"])[0] + ".val.json"
+        assert os.path.exists(meta_path)
+        recorded = json.load(open(meta_path))
+        assert recorded["val_loss"] == pytest.approx(res2["best_val"])
+        with open(meta_path, "w") as f:
+            json.dump({"val_loss": -1e9, "epoch": 0}, f)
+        cfg3 = FitConfig(
+            run_name="t1", output_path=str(tmp_path / "out"), epochs=4,
+            batch_size=4, precision="f32", resume=True,
+        )
+        res3 = fit(cfg3, train_b, val_b)
+        # the (artificially) better sidecar value wins: nothing overwrote
+        # the export and best_val stayed at the sidecar floor
+        assert res3["best_val"] == -1e9
+        assert json.load(open(meta_path))["val_loss"] == -1e9
+
     def test_fit_with_on_device_mixer(self, tmp_path, monkeypatch):
         import audiodenoiser_tpu.train.loop as loop_mod
         from audiodenoiser_tpu.data import OnDeviceMixer
