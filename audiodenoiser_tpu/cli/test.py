@@ -76,6 +76,13 @@ def parse_args(argv=None):
         "the remaining devices (n_devices / model_parallel).",
     )
     p.add_argument(
+        "--n_seeds", type=int, default=1,
+        help="waveform-domain evals only: repeat the eval with seeds "
+        "seed..seed+n-1 (fresh corruption draws) and report mean +- std "
+        "of every metric ({nt}_metrics_multiseed.txt) — error bars "
+        "instead of a single corruption draw.",
+    )
+    p.add_argument(
         "--bypass_db", type=float, default=40.0,
         help="identity-bypass gate for waveform-domain evals (complex_mask "
         "and routed-waveform): clips whose relative model-change energy is "
@@ -194,14 +201,56 @@ def main(argv=None):
             except FileNotFoundError:
                 print(f"Model for noise type '{noise_type}' not found. Skipping.")
                 continue
-            results[noise_type] = test_noise_type_waveform(
-                model, variables, noise_type,
-                clean_dir=args.clean_dir, noise_dir=args.noise_dir,
-                output_dir=args.output_dir, sample_rate=args.sample_rate,
-                n_fft=args.n_fft, hop_length=args.hop_length,
-                num_audio_examples=args.num_audio_examples, seed=args.seed,
-                mesh=mesh, bypass_db=args.bypass_db,
-            )
+            per_seed = []
+            for k in range(max(1, args.n_seeds)):
+                m = test_noise_type_waveform(
+                    model, variables, noise_type,
+                    clean_dir=args.clean_dir, noise_dir=args.noise_dir,
+                    output_dir=args.output_dir, sample_rate=args.sample_rate,
+                    n_fft=args.n_fft, hop_length=args.hop_length,
+                    num_audio_examples=args.num_audio_examples,
+                    seed=args.seed + k, mesh=mesh, bypass_db=args.bypass_db,
+                    write_artifacts=(k == 0),
+                )
+                if m is not None:
+                    per_seed.append(m)
+            if not per_seed:
+                continue
+            results[noise_type] = per_seed[0]
+            if len(per_seed) > 1:
+                import numpy as np
+
+                keys = sorted(
+                    set.intersection(*(set(m) for m in per_seed))
+                )
+                agg = {
+                    k: (
+                        float(np.mean([m[k] for m in per_seed])),
+                        float(np.std([m[k] for m in per_seed])),
+                    )
+                    for k in keys
+                }
+                results[noise_type] = {
+                    k: mu for k, (mu, _) in agg.items()
+                } | {f"{k}_std": sd for k, (_, sd) in agg.items()}
+                path = os.path.join(
+                    args.output_dir,
+                    f"{noise_type}_metrics_multiseed.txt",
+                )
+                with open(path, "w") as f:
+                    f.write(
+                        f"Multi-seed ({len(per_seed)} corruption draws) "
+                        f"waveform metrics for '{noise_type}' "
+                        f"(mean +- std):\n"
+                    )
+                    for k in keys:
+                        mu, sd = agg[k]
+                        f.write(f"{k}: {mu:.3f} +- {sd:.3f}\n")
+                print(
+                    f"multi-seed ({len(per_seed)}x): SI-SDR "
+                    f"{agg['si_sdr_noisy'][0]:.2f} -> "
+                    f"{agg['si_sdr'][0]:.2f} +- {agg['si_sdr'][1]:.2f} dB"
+                )
         return results
     for noise_type in args.noise_types:
         try:

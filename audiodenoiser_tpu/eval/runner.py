@@ -543,6 +543,7 @@ def test_noise_type_waveform(
     seed: int = 0,
     mesh=None,
     bypass_db: Optional[float] = 40.0,
+    write_artifacts: bool = True,
 ) -> Optional[dict]:
     """Waveform-domain evaluation: corrupt test wavs on device, denoise
     through the fused graph, score SI-SDR + the combined spectral loss.
@@ -654,6 +655,8 @@ def test_noise_type_waveform(
     except ValueError as e:  # clips shorter than the 64 ms minimum
         print(f"PESQ skipped: {e}")
 
+    if not write_artifacts:  # multi-seed repeats: metrics only
+        return metrics
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, f"{noise_type}_metrics.txt"), "w") as f:
         f.write(f"Waveform-domain metrics ({mode}) for noise type '{noise_type}':\n")

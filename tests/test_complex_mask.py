@@ -364,6 +364,57 @@ class TestMaskEvalCLI:
         txt = (tmp_path / "out" / "white_metrics.txt").read_text()
         assert "SI-SDR denoised" in txt
 
+    def test_multiseed_eval_reports_mean_and_std(
+        self, tmp_path, rng, monkeypatch
+    ):
+        """--n_seeds K repeats the corruption draw and reports mean +- std
+        per metric; artifacts are written once (first seed only)."""
+        import audiodenoiser_tpu.models as models_mod
+        from audiodenoiser_tpu.cli.test import main as test_main
+        from audiodenoiser_tpu.data.wav_io import write_wav
+        from audiodenoiser_tpu.train import export_model
+
+        real = ComplexMaskUNet
+        monkeypatch.setattr(
+            models_mod, "ComplexMaskUNet",
+            lambda dtype=jnp.float32, **kw: real(
+                features=(4, 8), bottleneck=16, dtype=dtype, **kw
+            ),
+        )
+        model = _tiny()
+        state = create_mask_train_state(jax.random.key(0), model)
+        sm = tmp_path / "saved_models"
+        sm.mkdir()
+        export_model(
+            str(sm / "mask_denoiser_white.ckpt"),
+            jax.device_get(state.params), jax.device_get(state.batch_stats),
+        )
+        clean_dir = tmp_path / "clean"
+        clean_dir.mkdir()
+        for i in range(2):
+            write_wav(
+                str(clean_dir / f"c{i}.wav"),
+                np.clip(rng.standard_normal(16000) * 0.2, -1, 1), 8000,
+            )
+        out = test_main(
+            [
+                "--model", "complex_mask", "--noise_types", "white",
+                "--saved_models_dir", str(sm),
+                "--clean_dir", str(clean_dir),
+                "--noise_dir", str(tmp_path / "noise"),
+                "--output_dir", str(tmp_path / "out"),
+                "--n_seeds", "3", "--mesh", "off", "--precision", "f32",
+                "--num_audio_examples", "0",
+            ]
+        )
+        got = out["white"]
+        assert "si_sdr" in got and "si_sdr_std" in got
+        assert got["si_sdr_std"] >= 0
+        multi = (tmp_path / "out" / "white_metrics_multiseed.txt").read_text()
+        assert "3 corruption draws" in multi and "si_sdr:" in multi
+        # single-seed artifacts written exactly once
+        assert (tmp_path / "out" / "white_metrics.txt").exists()
+
     def test_missing_mask_model_skips(self, tmp_path, capsys):
         from audiodenoiser_tpu.cli.test import main as test_main
 
