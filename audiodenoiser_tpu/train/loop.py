@@ -339,20 +339,16 @@ def fit(
                         (best_ema_path, "best_ema_val")):
             meta = os.path.splitext(p)[0] + ".val.json"
             if os.path.exists(meta):
-                import json as _json
-
                 with open(meta) as f:
-                    recorded = float(_json.load(f)["val_loss"])
+                    recorded = float(json.load(f)["val_loss"])
                 if attr == "best_val":
                     best_val = min(best_val, recorded)
                 else:
                     best_ema_val = min(best_ema_val, recorded)
 
     def _record_best(path: str, val: float, epoch: int) -> None:
-        import json as _json
-
         with open(os.path.splitext(path)[0] + ".val.json", "w") as f:
-            _json.dump({"val_loss": val, "epoch": epoch}, f)
+            json.dump({"val_loss": val, "epoch": epoch}, f)
     if config.ema_decay:
         if ema_params is None:
             ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
