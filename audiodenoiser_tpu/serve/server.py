@@ -20,7 +20,8 @@ inference path into a deployable service:
   (``max_queue``) and overload returns HTTP 503 instead of unbounded
   memory growth (VERDICT r2 weak #7);
 - ``make_http_server`` exposes it over stdlib HTTP (zero extra deps):
-  ``GET /healthz`` for liveness/device info, ``POST /denoise`` with WAV
+  ``GET /healthz`` for liveness/device info, ``GET /metrics`` for
+  Prometheus-format counters/gauges/latency histogram, ``POST /denoise`` with WAV
   bytes in, denoised WAV bytes out (``X-Latency-Ms`` response header),
   query params ``mode=noisy_phase|griffin_lim|reference_gl|complex_mask``
   — plus ``mode=auto`` when built with a noise router + specialist
@@ -100,6 +101,15 @@ class DenoiseService:
         self._key = jax.random.key(0)
         self.requests_served = 0
         self.batches_run = 0
+        self.overloaded_total = 0
+        self.errors_total = 0
+        # request latency histogram (admission -> result), Prometheus-style
+        # cumulative buckets in milliseconds
+        self._lat_bounds = (10, 25, 50, 100, 250, 500, 1000, 2500, 10000)
+        self._lat_counts = [0] * (len(self._lat_bounds) + 1)  # +inf tail
+        self._lat_sum_ms = 0.0
+        self._lat_n = 0
+        self._metrics_lock = threading.Lock()
         self._classify = None
         self.expert_runners = expert_runners
         self.auto_expert_mode = auto_expert_mode
@@ -260,16 +270,63 @@ class DenoiseService:
         if n > self.max_samples:
             raise ValueError(f"clip too long: {n} > {self.max_samples} samples")
         req = _Request(np.asarray(audio, np.float32), n, mode, self._bucket_len(n))
+        t0 = time.perf_counter()
         try:
             self._queue.put_nowait(req)
         except queue.Full:
+            with self._metrics_lock:
+                self.overloaded_total += 1
             raise ServiceOverloaded(
                 f"admission queue full ({self._queue.maxsize} pending)"
             ) from None
         req.done.wait()
+        ms = (time.perf_counter() - t0) * 1e3
+        with self._metrics_lock:
+            self._lat_sum_ms += ms
+            self._lat_n += 1
+            for i, b in enumerate(self._lat_bounds):
+                if ms <= b:
+                    self._lat_counts[i] += 1
+                    break
+            else:
+                self._lat_counts[-1] += 1
+            if req.error is not None:
+                self.errors_total += 1
         if req.error is not None:
             raise req.error
         return req.result
+
+    def metrics_text(self, stream_sessions: int = 0) -> str:
+        """Prometheus text-format service metrics (``GET /metrics``)."""
+        with self._metrics_lock:
+            counts = list(self._lat_counts)
+            lat_sum, lat_n = self._lat_sum_ms, self._lat_n
+            lines = [
+                "# TYPE adt_requests_total counter",
+                f"adt_requests_total {self.requests_served}",
+                "# TYPE adt_batches_total counter",
+                f"adt_batches_total {self.batches_run}",
+                "# TYPE adt_overloaded_total counter",
+                f"adt_overloaded_total {self.overloaded_total}",
+                "# TYPE adt_errors_total counter",
+                f"adt_errors_total {self.errors_total}",
+                "# TYPE adt_queue_depth gauge",
+                f"adt_queue_depth {self._queue.qsize()}",
+                "# TYPE adt_stream_sessions gauge",
+                f"adt_stream_sessions {stream_sessions}",
+                "# TYPE adt_request_latency_ms histogram",
+            ]
+        cum = 0
+        for bound, c in zip(self._lat_bounds, counts):
+            cum += c
+            lines.append(
+                f'adt_request_latency_ms_bucket{{le="{bound}"}} {cum}'
+            )
+        cum += counts[-1]
+        lines.append(f'adt_request_latency_ms_bucket{{le="+Inf"}} {cum}')
+        lines.append(f"adt_request_latency_ms_sum {lat_sum:.3f}")
+        lines.append(f"adt_request_latency_ms_count {lat_n}")
+        return "\n".join(lines) + "\n"
 
 
 def _read_wav_bytes(data: bytes, sample_rate: int) -> np.ndarray:
@@ -353,6 +410,14 @@ def make_http_server(
                     "requests_served": service.requests_served,
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
+            elif urlparse(self.path).path == "/metrics":
+                with s_lock:
+                    n_sessions = len(sessions)
+                self._send(
+                    200,
+                    service.metrics_text(stream_sessions=n_sessions).encode(),
+                    "text/plain; version=0.0.4",
+                )
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
 

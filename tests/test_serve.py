@@ -470,3 +470,66 @@ class TestServeCLIArgs:
 
         with pytest.raises(SystemExit):
             parse_args(["--noise_type", "pink"])
+
+
+class TestMetricsEndpoint:
+    def test_metrics_exposes_counters_and_latency_histogram(
+        self, server_url, rng
+    ):
+        audio = np.clip(
+            rng.standard_normal(4000) * 0.2, -1, 1
+        ).astype(np.float32)
+        req = urllib.request.Request(
+            f"{server_url}/denoise", data=_wav_bytes(audio), method="POST"
+        )
+        urllib.request.urlopen(req).read()
+        with urllib.request.urlopen(f"{server_url}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "adt_requests_total" in text
+        served = int(
+            [ln for ln in text.splitlines()
+             if ln.startswith("adt_requests_total")][0].split()[1]
+        )
+        assert served >= 1
+        count = int(
+            [ln for ln in text.splitlines()
+             if ln.startswith("adt_request_latency_ms_count")][0].split()[1]
+        )
+        assert count >= 1
+        # cumulative histogram: +Inf bucket equals the count
+        inf = int(
+            [ln for ln in text.splitlines() if 'le="+Inf"' in ln][0].split()[1]
+        )
+        assert inf == count
+        assert "adt_queue_depth" in text and "adt_stream_sessions" in text
+
+    def test_overload_increments_counter(self):
+        from audiodenoiser_tpu.serve.server import ServiceOverloaded
+
+        class SlowRunner:
+            def denoise_audio(self, audio, key, mode="noisy_phase", **kw):
+                time.sleep(0.2)
+                return audio
+
+        service = DenoiseService(
+            SlowRunner(), bucket_samples=4000, max_queue=1, max_batch=1
+        )
+        a = np.ones(1000, np.float32)
+        hits = {"overload": 0}
+
+        def call():
+            try:
+                service.denoise(a)
+            except ServiceOverloaded:
+                hits["overload"] += 1
+
+        threads = [threading.Thread(target=call) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert hits["overload"] >= 1
+        assert f"adt_overloaded_total {hits['overload']}" in (
+            service.metrics_text()
+        )
