@@ -139,6 +139,13 @@ def parse_args(argv=None):
     )
     ext.add_argument("--snr_max", type=float, default=None)
     ext.add_argument(
+        "--augment", action="store_true",
+        help="on_device pipeline: random gain (+-6 dB), polarity, and "
+        "circular time shift on each clean chunk before corruption "
+        "(on-device, zero host cost) — multiplies effective data for "
+        "small clean libraries. Validation stays un-augmented.",
+    )
+    ext.add_argument(
         "--si_sdr_weight", type=float, default=None,
         help="complex_mask family: weight of the negative-SI-SDR waveform "
         "term in the training objective (default 0.5 — train on the metric "
@@ -566,7 +573,8 @@ def main(argv=None):
         if args.snr_min is not None and args.snr_max is not None:
             snr_kwargs["snr_db"] = (args.snr_min, args.snr_max)
         mixer = OnDeviceMixer(
-            chunks[tr_idx], args.noise_type, noise_bank=bank, **snr_kwargs
+            chunks[tr_idx], args.noise_type, noise_bank=bank,
+            augment=args.augment, **snr_kwargs
         )
         # validation stays at the reference's fixed SNR for comparability
         val_mixer = OnDeviceMixer(chunks[va_idx], args.noise_type, noise_bank=bank)

@@ -100,6 +100,9 @@ class OnDeviceMixer:
         center: bool = False,
         float16_roundtrip: bool = True,
         precision: str = "auto",  # STFT path: auto -> pallas on TPU, else fft
+        augment: bool = False,  # on-device clean-chunk augmentation (gain
+        # +-6 dB, polarity flip, circular time shift) before corruption —
+        # effective-dataset multiplier for small clean libraries
     ):
         if noise_type not in (
             "white", "urban", "reverb", "noise_cancellation", "mixed"
@@ -112,6 +115,7 @@ class OnDeviceMixer:
             # inference benchmark (eval/bench.py) — VERDICT r1 weak #6
             precision = "pallas" if jax.default_backend() == "tpu" else "fft"
         self.precision = precision
+        self.augment = bool(augment)
         self.clean = jnp.asarray(np.asarray(clean_chunks, dtype=np.float32))
         self.noise_type = noise_type
         self.bank = noise_bank
@@ -134,10 +138,30 @@ class OnDeviceMixer:
         """(noisy_audio, clean_audio) raw (B, chunk) pairs — the input for
         waveform-domain models (e.g. the complex-mask U-Net)."""
         cfg = self.cfg
-        k_idx, k_noise = jax.random.split(key)
+        k_idx, k_aug, k_noise = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
-        clean = self.clean[idx]
+        clean = self._augmented(k_aug, self.clean[idx])
         return self._corrupt(k_noise, clean, batch_size), clean
+
+    def _augmented(self, key, clean):
+        """Random gain (+-6 dB), polarity, and circular time shift on the
+        CLEAN chunk before corruption, so the (noisy, clean) pair stays
+        consistent. On-device and inside the jitted sample fns: zero host
+        cost. Measured round 3: the 162-chunk library is data-bound past
+        12k steps — this is the lever that multiplies effective data."""
+        if not self.augment:
+            return clean
+        b = clean.shape[0]
+        k_g, k_p, k_s = jax.random.split(key, 3)
+        gain = 10.0 ** (
+            jax.random.uniform(k_g, (b, 1), minval=-6.0, maxval=6.0) / 20.0
+        )
+        pol = jnp.where(
+            jax.random.bernoulli(k_p, 0.5, (b, 1)), 1.0, -1.0
+        )
+        shift = jax.random.randint(k_s, (b,), 0, clean.shape[1])
+        rolled = jax.vmap(jnp.roll)(clean, shift)
+        return jnp.clip(rolled * gain * pol, -1.0, 1.0)
 
     def _snr(self, key, batch_size):
         """Fixed reference SNR (scalar) or a per-example curriculum draw
@@ -217,9 +241,9 @@ class OnDeviceMixer:
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample(self, key: jax.Array, batch_size: int):
         """(noisy, clean) NHWC float32 batches of ``target_size`` mags."""
-        k_idx, k_noise = jax.random.split(key)
+        k_idx, k_aug, k_noise = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
-        clean = self.clean[idx]
+        clean = self._augmented(k_aug, self.clean[idx])
         noisy = self._corrupt(k_noise, clean, batch_size)
         return self._featurize(noisy), self._featurize(clean)
 
@@ -231,9 +255,9 @@ class OnDeviceMixer:
         router (models/router.py). Requires ``noise_type='mixed'``."""
         if self.noise_type != "mixed":
             raise ValueError("sample_labeled requires noise_type='mixed'")
-        k_idx, k_pick, k_all = jax.random.split(key, 3)
+        k_idx, k_aug, k_pick, k_all = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
-        clean = self.clean[idx]
+        clean = self._augmented(k_aug, self.clean[idx])
         choice = jax.random.randint(k_pick, (batch_size,), 0, 4)
         every = self._corrupt_each(k_all, clean, batch_size)  # (4, B, T)
         noisy = jnp.take_along_axis(every, choice[None, :, None], axis=0)[0]

@@ -226,6 +226,36 @@ class TestOnDeviceMixer:
         with pytest.raises(ValueError):
             OnDeviceMixer(chunks, "mixed")
 
+    def test_augment_transforms_clean_consistently(self, chunks):
+        """augment=True applies gain/polarity/shift to the CLEAN chunk
+        before corruption: the returned clean differs from every source
+        chunk, stays in [-1, 1], and the (noisy, clean) pair remains
+        consistent (white corruption of the augmented clean)."""
+        import jax.numpy as jnp
+
+        mixer = OnDeviceMixer(chunks, "white", augment=True)
+        noisy, clean = mixer.sample_audio(jax.random.key(3), 4)
+        clean_np = np.asarray(clean)
+        assert np.abs(clean_np).max() <= 1.0
+        # every returned clean row must differ from all 32 source chunks
+        # (shift/gain make an exact match essentially impossible)
+        for row in clean_np:
+            assert not any(
+                np.array_equal(row, src) for src in np.asarray(chunks)
+            )
+        # pair consistency: noisy - clean is the additive white noise, so
+        # the residual must be nonzero and bounded (clipped domain)
+        resid = np.asarray(noisy) - clean_np
+        assert np.abs(resid).mean() > 0
+        # augment=False reproduces the original chunks exactly
+        plain = OnDeviceMixer(chunks, "white", augment=False)
+        _, clean0 = plain.sample_audio(jax.random.key(3), 4)
+        rows0 = np.asarray(clean0)
+        assert all(
+            any(np.array_equal(r, src) for src in np.asarray(chunks))
+            for r in rows0
+        )
+
     def test_mixed_draws_each_example_from_one_corruption(self, chunks, rng):
         """noise_type='mixed' (the universal-model pipeline): every example
         must equal exactly one of the four single-type corruptions generated
@@ -241,8 +271,9 @@ class TestOnDeviceMixer:
         noisy, clean = np.asarray(noisy), np.asarray(clean)
 
         # reproduce the internal key routing: sample_audio splits into
-        # (k_idx, k_noise); _corrupt splits k_noise into (k_pick, k_all)
-        k_idx, k_noise = jax.random.split(key)
+        # (k_idx, k_aug, k_noise); _corrupt splits k_noise into
+        # (k_pick, k_all)
+        k_idx, k_aug, k_noise = jax.random.split(key, 3)
         _, k_all = jax.random.split(k_noise)
         every = np.asarray(
             mixer._corrupt_each(k_all, jnp.asarray(clean), 16)
