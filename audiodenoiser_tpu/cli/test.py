@@ -201,6 +201,14 @@ def main(argv=None):
             except FileNotFoundError:
                 print(f"Model for noise type '{noise_type}' not found. Skipping.")
                 continue
+            # one runner across the seed loop: DenoiserRunner jits with
+            # static self, so per-seed construction would re-pay the full
+            # XLA compile of the fused graph K times for identical shapes
+            from audiodenoiser_tpu.eval.runner import DenoiserRunner
+
+            runner = DenoiserRunner(
+                model, variables, args.n_fft, args.hop_length, mesh=mesh
+            )
             per_seed = []
             for k in range(max(1, args.n_seeds)):
                 m = test_noise_type_waveform(
@@ -210,7 +218,7 @@ def main(argv=None):
                     n_fft=args.n_fft, hop_length=args.hop_length,
                     num_audio_examples=args.num_audio_examples,
                     seed=args.seed + k, mesh=mesh, bypass_db=args.bypass_db,
-                    write_artifacts=(k == 0),
+                    write_artifacts=(k == 0), runner=runner,
                 )
                 if m is not None:
                     per_seed.append(m)

@@ -295,6 +295,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
 
     start_epoch = 0
     best_val = float("inf")
+    exported_best = False
     resume_dir = os.path.join(ckpt_dir, "pp_train_state")
     if cfg.resume and os.path.exists(resume_dir):
         # PipeTrainState is a plain pytree of arrays: the standard orbax
@@ -398,6 +399,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
             best_val = val_loss
             full = trainer.unpack_state(state)
             export_model(best_path, full["params"], full["batch_stats"])
+            exported_best = True
             import json as _json
 
             with open(os.path.splitext(best_path)[0] + ".val.json",
@@ -438,6 +440,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
         "run_dir": run_dir,
         "history": history,
         "state": state,
+        "exported_best": exported_best,
     }
 
 
@@ -698,15 +701,18 @@ def main(argv=None):
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)
 
-    if mask_meta is not None and result.get("best_path"):
+    import json
+
+    run_meta = os.path.splitext(result["best_path"])[0] + ".json"
+    if mask_meta is not None and result.get("exported_best"):
         # sidecar BESIDE the run-dir checkpoint too: anyone loading
         # best_model.ckpt directly (not via --export_dir) must be able to
         # rebuild the trained mask head (bound/residual), else the loader
-        # silently instantiates the default head against these weights
-        import json
-
-        with open(os.path.splitext(result["best_path"])[0] + ".json",
-                  "w") as f:
+        # silently instantiates the default head against these weights.
+        # Written ONLY when THIS run (re)exported the checkpoint — a
+        # resumed run with changed mask flags that never beat the restored
+        # best must not re-stamp the old weights with new hyperparameters.
+        with open(run_meta, "w") as f:
             json.dump(mask_meta, f)
 
     if args.export_dir and args.noise_type:
@@ -716,11 +722,16 @@ def main(argv=None):
         stem = "unet_denoiser" if args.model == "unet" else "mask_denoiser"
         dst = os.path.join(args.export_dir, f"{stem}_{args.noise_type}.ckpt")
         if mask_meta is not None:
-            # sidecar: mask-head hyperparameters eval must rebuild with
-            import json
-
+            # sidecar: the head hyperparameters of the weights actually
+            # being shipped — this run's flags if it exported, else the
+            # run-dir sidecar describing the earlier run's checkpoint
+            if result.get("exported_best") or not os.path.exists(run_meta):
+                meta_payload = mask_meta
+            else:
+                with open(run_meta) as f:
+                    meta_payload = json.load(f)
             with open(os.path.splitext(dst)[0] + ".json", "w") as f:
-                json.dump(mask_meta, f)
+                json.dump(meta_payload, f)
         if os.path.exists(result["best_path"]):
             if args.export_quantized:
                 from audiodenoiser_tpu.train.checkpoints import (

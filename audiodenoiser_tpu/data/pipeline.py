@@ -138,10 +138,20 @@ class OnDeviceMixer:
         """(noisy_audio, clean_audio) raw (B, chunk) pairs — the input for
         waveform-domain models (e.g. the complex-mask U-Net)."""
         cfg = self.cfg
-        k_idx, k_aug, k_noise = jax.random.split(key, 3)
+        k_idx, k_aug, k_noise = self._split3(key)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
         clean = self._augmented(k_aug, self.clean[idx])
         return self._corrupt(k_noise, clean, batch_size), clean
+
+    def _split3(self, key):
+        """(k_idx, k_aug, k_noise): a 3-way split with augmentation, the
+        legacy 2-way split (k_aug=None) without — so augment=False runs
+        reproduce every pre-augmentation seed stream bit-identically
+        (BASELINE.md / WORKFLOW_RUN.md recipes stay reproducible)."""
+        if self.augment:
+            return jax.random.split(key, 3)
+        k_idx, k_noise = jax.random.split(key)
+        return k_idx, None, k_noise
 
     def _augmented(self, key, clean):
         """Random gain (+-6 dB), polarity, and circular time shift on the
@@ -156,6 +166,11 @@ class OnDeviceMixer:
         gain = 10.0 ** (
             jax.random.uniform(k_g, (b, 1), minval=-6.0, maxval=6.0) / 20.0
         )
+        # bound the positive gain by per-chunk headroom: amplifying a
+        # near-full-scale chunk past 1.0 and clipping would teach the
+        # model that square-topped audio is "clean"
+        peak = jnp.max(jnp.abs(clean), axis=1, keepdims=True)
+        gain = jnp.minimum(gain, 1.0 / jnp.maximum(peak, 1e-6))
         pol = jnp.where(
             jax.random.bernoulli(k_p, 0.5, (b, 1)), 1.0, -1.0
         )
@@ -241,7 +256,7 @@ class OnDeviceMixer:
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample(self, key: jax.Array, batch_size: int):
         """(noisy, clean) NHWC float32 batches of ``target_size`` mags."""
-        k_idx, k_aug, k_noise = jax.random.split(key, 3)
+        k_idx, k_aug, k_noise = self._split3(key)
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
         clean = self._augmented(k_aug, self.clean[idx])
         noisy = self._corrupt(k_noise, clean, batch_size)
@@ -255,7 +270,11 @@ class OnDeviceMixer:
         router (models/router.py). Requires ``noise_type='mixed'``."""
         if self.noise_type != "mixed":
             raise ValueError("sample_labeled requires noise_type='mixed'")
-        k_idx, k_aug, k_pick, k_all = jax.random.split(key, 4)
+        if self.augment:
+            k_idx, k_aug, k_pick, k_all = jax.random.split(key, 4)
+        else:  # augment off keeps the legacy key stream bit-identical
+            k_idx, k_pick, k_all = jax.random.split(key, 3)
+            k_aug = None
         idx = jax.random.randint(k_idx, (batch_size,), 0, len(self))
         clean = self._augmented(k_aug, self.clean[idx])
         choice = jax.random.randint(k_pick, (batch_size,), 0, 4)

@@ -645,35 +645,34 @@ def evaluate_routed_waveform(
             "si_sdr_median_noisy": float(np.median(sn)),
             "si_sdr_median": float(np.median(sd)),
         }
-        # STOI/PESQ like the known-type waveform eval (skipped, not fatal,
-        # on clips too short for their analysis windows)
+        # STOI/PESQ like the known-type waveform eval; per-clip degenerate
+        # inputs drop out of the mean (metrics vanish only if NO clip is
+        # scorable)
+        from audiodenoiser_tpu.eval.runner import batch_metric_mean
+
         clean_np = np.asarray(clean)
         noisy_np = np.asarray(noisy)
         den_np = np.asarray(den)
         try:
             from audiodenoiser_tpu.eval.metrics import stoi
 
-            metrics["stoi_noisy"] = float(np.mean([
-                stoi(clean_np[i], noisy_np[i], sample_rate)
-                for i in range(clean_np.shape[0])
-            ]))
-            metrics["stoi"] = float(np.mean([
-                stoi(clean_np[i], den_np[i], sample_rate)
-                for i in range(clean_np.shape[0])
-            ]))
+            metrics["stoi_noisy"] = batch_metric_mean(
+                stoi, clean_np, noisy_np, sample_rate
+            )
+            metrics["stoi"] = batch_metric_mean(
+                stoi, clean_np, den_np, sample_rate
+            )
         except ValueError:
             pass
         try:
             from audiodenoiser_tpu.eval.metrics import pesq
 
-            metrics["pesq_noisy"] = float(np.mean([
-                pesq(clean_np[i], noisy_np[i], sample_rate)
-                for i in range(clean_np.shape[0])
-            ]))
-            metrics["pesq"] = float(np.mean([
-                pesq(clean_np[i], den_np[i], sample_rate)
-                for i in range(clean_np.shape[0])
-            ]))
+            metrics["pesq_noisy"] = batch_metric_mean(
+                pesq, clean_np, noisy_np, sample_rate
+            )
+            metrics["pesq"] = batch_metric_mean(
+                pesq, clean_np, den_np, sample_rate
+            )
         except ValueError:
             pass
         print(f"\n=== Auto-routed waveform eval on noise type: {nt} ===")

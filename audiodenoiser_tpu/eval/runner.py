@@ -64,6 +64,24 @@ def identity_bypass(
     return jnp.where((change_db < -thresh_db)[..., None], orig, out)
 
 
+def batch_metric_mean(fn, clean, audio, sample_rate) -> float:
+    """Mean of a per-clip metric with PER-CLIP degenerate-input skipping.
+
+    STOI/PESQ raise ValueError on clips their analysis windows cannot
+    score (too short, silent reference); one such clip must drop out of
+    the average, not abort the metric for the whole eval set. Raises only
+    if NO clip is scorable (so callers' existing guards still apply)."""
+    vals = []
+    for i in range(clean.shape[0]):
+        try:
+            vals.append(fn(clean[i], audio[i], sample_rate))
+        except ValueError:
+            continue
+    if not vals:
+        raise ValueError("no clip scorable")
+    return float(np.mean(vals))
+
+
 def load_model_for_noise(
     noise_type: str,
     saved_models_dir: str = "./saved_models",
@@ -456,16 +474,14 @@ def test_single_noise_type(
             f"{metrics['si_sdr_noisy_phase']:.3f} dB"
         )
         try:
-            metrics["pesq_noisy_input"] = float(np.mean([
-                pesq(clean_audio_true[i, :covered],
-                     noisy_audio[i, :covered], sample_rate)
-                for i in range(clean_audio_true.shape[0])
-            ]))
-            metrics["pesq_noisy_phase"] = float(np.mean([
-                pesq(clean_audio_true[i, :covered], recon[i, :covered],
-                     sample_rate)
-                for i in range(clean_audio_true.shape[0])
-            ]))
+            metrics["pesq_noisy_input"] = batch_metric_mean(
+                pesq, clean_audio_true[:, :covered],
+                noisy_audio[:, :covered], sample_rate,
+            )
+            metrics["pesq_noisy_phase"] = batch_metric_mean(
+                pesq, clean_audio_true[:, :covered], recon[:, :covered],
+                sample_rate,
+            )
             print(
                 f"PESQ (noisy-phase recon vs clean waveform): "
                 f"{metrics['pesq_noisy_input']:.3f} -> "
@@ -544,6 +560,7 @@ def test_noise_type_waveform(
     mesh=None,
     bypass_db: Optional[float] = 40.0,
     write_artifacts: bool = True,
+    runner: Optional["DenoiserRunner"] = None,
 ) -> Optional[dict]:
     """Waveform-domain evaluation: corrupt test wavs on device, denoise
     through the fused graph, score SI-SDR + the combined spectral loss.
@@ -582,7 +599,8 @@ def test_noise_type_waveform(
         snr_db, reverb_wet_level,
     )
 
-    runner = DenoiserRunner(model, variables, n_fft, hop_length, mesh=mesh)
+    if runner is None:
+        runner = DenoiserRunner(model, variables, n_fft, hop_length, mesh=mesh)
     if bypass_db is not None and bypass_db <= 0:
         bypass_db = None
     den_audio = runner.denoise_audio(
@@ -620,39 +638,34 @@ def test_noise_type_waveform(
         f"{metrics['si_sdr_median_noisy']:.3f} -> "
         f"{metrics['si_sdr_median']:.3f} dB"
     )
-    try:
-        clean_np = np.asarray(clean)
-        noisy_host = np.asarray(noisy_audio)
-        den_host = np.asarray(den_audio)
-        metrics["stoi_noisy"] = float(np.mean([
-            stoi(clean_np[i], noisy_host[i], sample_rate)
-            for i in range(clean_np.shape[0])
-        ]))
-        metrics["stoi"] = float(np.mean([
-            stoi(clean_np[i], den_host[i], sample_rate)
-            for i in range(clean_np.shape[0])
-        ]))
+    clean_np = np.asarray(clean)
+    noisy_host = np.asarray(noisy_audio)
+    den_host = np.asarray(den_audio)
+    try:  # per-clip degenerate inputs drop out of the mean
+        metrics["stoi_noisy"] = batch_metric_mean(
+            stoi, clean_np, noisy_host, sample_rate
+        )
+        metrics["stoi"] = batch_metric_mean(
+            stoi, clean_np, den_host, sample_rate
+        )
         print(
             f"STOI: {metrics['stoi_noisy']:.4f} (noisy) -> "
             f"{metrics['stoi']:.4f} (denoised)"
         )
-    except ValueError as e:  # clips too short/silent for the 384 ms segments
+    except ValueError as e:  # every clip too short/silent
         print(f"STOI skipped: {e}")
     try:
-        clean_np = np.asarray(clean)
-        metrics["pesq_noisy"] = float(np.mean([
-            pesq(clean_np[i], np.asarray(noisy_audio)[i], sample_rate)
-            for i in range(clean_np.shape[0])
-        ]))
-        metrics["pesq"] = float(np.mean([
-            pesq(clean_np[i], np.asarray(den_audio)[i], sample_rate)
-            for i in range(clean_np.shape[0])
-        ]))
+        metrics["pesq_noisy"] = batch_metric_mean(
+            pesq, clean_np, noisy_host, sample_rate
+        )
+        metrics["pesq"] = batch_metric_mean(
+            pesq, clean_np, den_host, sample_rate
+        )
         print(
             f"PESQ: {metrics['pesq_noisy']:.3f} (noisy) -> "
             f"{metrics['pesq']:.3f} (denoised)"
         )
-    except ValueError as e:  # clips shorter than the 64 ms minimum
+    except ValueError as e:  # every clip shorter than the 64 ms minimum
         print(f"PESQ skipped: {e}")
 
     if not write_artifacts:  # multi-seed repeats: metrics only

@@ -358,6 +358,7 @@ def make_http_server(
     port: int = 8800,
     stream_factory=None,
     stream_ttl: float = 600.0,
+    max_stream_sessions: int = 64,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; call .serve_forever() to run.
 
@@ -430,6 +431,17 @@ def make_http_server(
                 )
                 return
             if parsed.path == "/stream/start":
+                _evict_idle()
+                with s_lock:
+                    live = len(sessions)
+                if live >= max_stream_sessions:
+                    # admission control for streams, symmetric with the
+                    # batch path's bounded queue: each live session holds
+                    # device-resident WOLA state, so unbounded acceptance
+                    # is a memory-growth vector
+                    raise ServiceOverloaded(
+                        f"stream session limit reached ({live} live)"
+                    )
                 mode = parse_qs(parsed.query).get("mode", [None])[0]
                 sess = stream_factory(mode)
                 sid = uuid.uuid4().hex[:16]

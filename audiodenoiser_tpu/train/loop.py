@@ -292,8 +292,10 @@ def fit(
     ema_params = None
     best_ema_val = float("inf")
     resumed_step = 0
+    did_restore = False
     resume_dir = os.path.join(ckpt_dir, "train_state")
     if config.resume and os.path.exists(resume_dir):
+        did_restore = True
         saved = ckpt_lib.saved_keys(resume_dir)
 
         def try_restore(with_ema: bool, with_step: bool):
@@ -328,13 +330,16 @@ def fit(
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     best_ema_path = os.path.join(ckpt_dir, "best_model_ema.ckpt")
-    if config.resume:
+    if did_restore:
         # --ckpt_every makes the resume state coarser than the per-epoch
         # best export: the restored best_val can be stale relative to an
         # already-written better best_model.ckpt, and a resumed run with a
         # worse val loss would silently overwrite it. Every best export
         # records its val loss in a tiny sidecar; on resume the better
-        # (lower) of the two wins.
+        # (lower) of the two wins. Applied only after an ACTUAL restore —
+        # a fresh start (no train_state yet) must not inherit a floor from
+        # some earlier run's sidecar, which may be on a different loss
+        # scale and would suppress every export of the new run.
         for p, attr in ((best_path, "best_val"),
                         (best_ema_path, "best_ema_val")):
             meta = os.path.splitext(p)[0] + ".val.json"
@@ -356,12 +361,16 @@ def fit(
 
     logger.info("--- Starting Training Loop ---")
     history = []
+    exported_best = False
     global_step = resumed_step  # TB step series stays monotonic on resume
     for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
         # reset per-epoch so the first steps/s figure doesn't amortize the
-        # previous epoch's validation + checkpoint time
+        # previous epoch's validation + checkpoint time; count the steps
+        # actually timed so the figure stays honest when log_every does
+        # not divide steps_per_epoch (or after a misaligned resume)
         log_t0 = t0
+        steps_since_log = 0
         train_losses = []
         for noisy, clean in train_batches(epoch):
             state, losses = step_fn(state, place(noisy), place(clean))
@@ -369,14 +378,16 @@ def fit(
             if ema_params is not None:
                 ema_params = _ema_update(ema_params, state.params, ema_decay)
             global_step += 1
+            steps_since_log += 1
             if config.log_every and global_step % config.log_every == 0:
                 # intra-epoch progress (the reference shows a tqdm bar per
                 # batch, train.py:64,82): running loss + steps/s every
                 # log_every steps. float() fetch doubles as the only host
                 # sync in the hot loop.
                 now = time.perf_counter()
-                sps = config.log_every / max(now - log_t0, 1e-9)
+                sps = steps_since_log / max(now - log_t0, 1e-9)
                 log_t0 = now
+                steps_since_log = 0
                 running = float(losses.total)
                 writer.add_scalar("Loss/train_batch", running, global_step)
                 logger.info(
@@ -429,6 +440,7 @@ def fit(
                 best_path, jax.device_get(state.params), jax.device_get(state.batch_stats)
             )
             _record_best(best_path, best_val, epoch)
+            exported_best = True
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
@@ -468,6 +480,10 @@ def fit(
         "run_dir": run_dir,
         "history": history,
         "state": state,
+        # False when a resumed run never beat the restored best: the ckpt
+        # on disk is from an EARLIER run and callers must not re-stamp it
+        # with this run's hyperparameters (mask sidecar)
+        "exported_best": exported_best,
     }
     if config.ema_decay:
         result["best_ema_val"] = best_ema_val

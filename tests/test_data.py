@@ -270,10 +270,10 @@ class TestOnDeviceMixer:
         noisy, clean = mixer.sample_audio(key, 16)
         noisy, clean = np.asarray(noisy), np.asarray(clean)
 
-        # reproduce the internal key routing: sample_audio splits into
-        # (k_idx, k_aug, k_noise); _corrupt splits k_noise into
-        # (k_pick, k_all)
-        k_idx, k_aug, k_noise = jax.random.split(key, 3)
+        # reproduce the internal key routing (augment=False keeps the
+        # legacy stream): sample_audio splits into (k_idx, k_noise);
+        # _corrupt splits k_noise into (k_pick, k_all)
+        k_idx, k_noise = jax.random.split(key)
         _, k_all = jax.random.split(k_noise)
         every = np.asarray(
             mixer._corrupt_each(k_all, jnp.asarray(clean), 16)

@@ -533,3 +533,41 @@ class TestMetricsEndpoint:
         assert f"adt_overloaded_total {hits['overload']}" in (
             service.metrics_text()
         )
+
+
+class TestStreamSessionCap:
+    def test_session_limit_returns_503(self):
+        """Streams hold device-resident WOLA state; acceptance is bounded
+        like the batch queue, surfacing 503 on the session limit."""
+
+        class _NullSession:
+            latency_samples = 0
+
+            def process(self, samples):
+                return np.zeros(0, np.float32)
+
+            def flush(self):
+                return np.zeros(0, np.float32)
+
+        service = DenoiseService.__new__(DenoiseService)
+        service.sample_rate = 8000
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: _NullSession(),
+            max_stream_sessions=2,
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{port}/stream/start"
+            for _ in range(2):
+                req = urllib.request.Request(url, data=b"", method="POST")
+                urllib.request.urlopen(req).read()
+            req = urllib.request.Request(url, data=b"", method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 503
+            assert e.value.headers.get("Retry-After") == "1"
+        finally:
+            server.shutdown()
