@@ -190,8 +190,20 @@ def main(argv=None):
             print(f"Universal model '{stem}_mixed' not found. Nothing to do.")
             return results
     if args.model == "complex_mask":
-        from audiodenoiser_tpu.eval.runner import test_noise_type_waveform
+        from audiodenoiser_tpu.eval.runner import (
+            DenoiserRunner,
+            test_noise_type_waveform,
+        )
 
+        # one runner per distinct model: DenoiserRunner jits with static
+        # self, so per-seed (or, with --universal, per-noise-type)
+        # construction would re-pay the full XLA compile of the fused
+        # graph for identical shapes
+        runner = None
+        if loaded is not None:  # --universal: one model for every type
+            runner = DenoiserRunner(
+                loaded[0], loaded[1], args.n_fft, args.hop_length, mesh=mesh
+            )
         for noise_type in args.noise_types:
             try:
                 model, variables = loaded or load_model_for_noise(
@@ -201,14 +213,10 @@ def main(argv=None):
             except FileNotFoundError:
                 print(f"Model for noise type '{noise_type}' not found. Skipping.")
                 continue
-            # one runner across the seed loop: DenoiserRunner jits with
-            # static self, so per-seed construction would re-pay the full
-            # XLA compile of the fused graph K times for identical shapes
-            from audiodenoiser_tpu.eval.runner import DenoiserRunner
-
-            runner = DenoiserRunner(
-                model, variables, args.n_fft, args.hop_length, mesh=mesh
-            )
+            if loaded is None:
+                runner = DenoiserRunner(
+                    model, variables, args.n_fft, args.hop_length, mesh=mesh
+                )
             per_seed = []
             for k in range(max(1, args.n_seeds)):
                 m = test_noise_type_waveform(

@@ -518,6 +518,10 @@ def main(argv=None):
     if args.noise_type == "mixed" and args.pipeline != "on_device":
         raise SystemExit("--noise_type mixed requires --pipeline on_device "
                          "(the corruption mixture is synthesized per step)")
+    if args.augment and args.pipeline != "on_device":
+        raise SystemExit("--augment requires --pipeline on_device (the "
+                         "augmentations run inside the jitted mixer); the "
+                         "precomputed npy pipeline would silently ignore it")
 
     if args.pipeline == "npy":
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
@@ -724,14 +728,28 @@ def main(argv=None):
         if mask_meta is not None:
             # sidecar: the head hyperparameters of the weights actually
             # being shipped — this run's flags if it exported, else the
-            # run-dir sidecar describing the earlier run's checkpoint
-            if result.get("exported_best") or not os.path.exists(run_meta):
+            # run-dir sidecar describing the earlier run's checkpoint.
+            # If the shipped weights predate sidecars entirely (no
+            # run_meta and nothing exported this run), their true config
+            # is unknown: stamping this run's flags on them would be the
+            # exact mismatch bug the sidecars exist to prevent — warn and
+            # write nothing (the loader falls back to defaults).
+            if result.get("exported_best"):
                 meta_payload = mask_meta
-            else:
+            elif os.path.exists(run_meta):
                 with open(run_meta) as f:
                     meta_payload = json.load(f)
-            with open(os.path.splitext(dst)[0] + ".json", "w") as f:
-                json.dump(meta_payload, f)
+            else:
+                meta_payload = None
+                print(
+                    "WARNING: exporting a checkpoint from an earlier run "
+                    "with no recorded mask sidecar; its head config is "
+                    "unknown, so no sidecar is written (loader will use "
+                    "defaults)."
+                )
+            if meta_payload is not None:
+                with open(os.path.splitext(dst)[0] + ".json", "w") as f:
+                    json.dump(meta_payload, f)
         if os.path.exists(result["best_path"]):
             if args.export_quantized:
                 from audiodenoiser_tpu.train.checkpoints import (

@@ -432,26 +432,28 @@ def make_http_server(
                 return
             if parsed.path == "/stream/start":
                 _evict_idle()
+                mode = parse_qs(parsed.query).get("mode", [None])[0]
+                sid = uuid.uuid4().hex[:16]
+                # check + insert in ONE critical section: a check-then-act
+                # across lock releases would let concurrent starts exceed
+                # the cap (admission control for streams, symmetric with
+                # the batch path's bounded queue — each live session holds
+                # device-resident WOLA state)
                 with s_lock:
                     live = len(sessions)
-                if live >= max_stream_sessions:
-                    # admission control for streams, symmetric with the
-                    # batch path's bounded queue: each live session holds
-                    # device-resident WOLA state, so unbounded acceptance
-                    # is a memory-growth vector
-                    raise ServiceOverloaded(
-                        f"stream session limit reached ({live} live)"
-                    )
-                mode = parse_qs(parsed.query).get("mode", [None])[0]
-                sess = stream_factory(mode)
-                sid = uuid.uuid4().hex[:16]
-                with s_lock:
+                    if live >= max_stream_sessions:
+                        if hasattr(service, "_metrics_lock"):
+                            with service._metrics_lock:
+                                service.overloaded_total += 1
+                        raise ServiceOverloaded(
+                            f"stream session limit reached ({live} live)"
+                        )
+                    sess = stream_factory(mode)
                     sessions[sid] = {
                         "s": sess,
                         "lock": threading.Lock(),
                         "t": time.monotonic(),
                     }
-                _evict_idle()
                 info = {
                     "session": sid,
                     "latency_samples": int(
