@@ -571,3 +571,47 @@ class TestStreamSessionCap:
             assert e.value.headers.get("Retry-After") == "1"
         finally:
             server.shutdown()
+
+
+def test_stream_cap_rejections_count_as_overloads(rng):
+    """Stream 503s must surface in adt_overloaded_total so overload
+    monitoring sees them (round-3 review finding)."""
+
+    class _NullSession:
+        latency_samples = 0
+
+        def process(self, samples):
+            return np.zeros(0, np.float32)
+
+        def flush(self):
+            return np.zeros(0, np.float32)
+
+    class IdRunner:
+        def denoise_audio(self, audio, key, mode="noisy_phase", **kw):
+            return audio
+
+    service = DenoiseService(IdRunner(), bucket_samples=4000)
+    server = make_http_server(
+        service, "127.0.0.1", 0,
+        stream_factory=lambda mode: _NullSession(),
+        max_stream_sessions=1,
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/stream/start"
+        urllib.request.urlopen(
+            urllib.request.Request(url, data=b"", method="POST")
+        ).read()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=b"", method="POST")
+            )
+        assert e.value.code == 503
+        metrics = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics"
+        ).read().decode()
+        assert "adt_overloaded_total 1" in metrics
+    finally:
+        server.shutdown()
