@@ -18,6 +18,7 @@ Usage: ``python -m audiodenoiser_tpu.cli.train --base_dataset_path ...``
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -296,6 +297,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
     start_epoch = 0
     best_val = float("inf")
     exported_best = False
+    best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     resume_dir = os.path.join(ckpt_dir, "pp_train_state")
     if cfg.resume and os.path.exists(resume_dir):
         # PipeTrainState is a plain pytree of arrays: the standard orbax
@@ -313,12 +315,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
         best_val = float(restored["best_val"])
         # --ckpt_every makes the resume state coarser than the per-epoch
         # best export; the best sidecar keeps best_val honest (see fit())
-        meta = os.path.join(ckpt_dir, "best_model.val.json")
-        if os.path.exists(meta):
-            import json as _json
-
-            with open(meta) as f:
-                best_val = min(best_val, float(_json.load(f)["val_loss"]))
+        best_val = ckpt_lib.best_val_floor(best_path, best_val)
         logger.info(
             f"Resumed from epoch {start_epoch} (best val {best_val:.6f})"
         )
@@ -342,7 +339,6 @@ def _train_pp(args, cfg, train_batches, val_batches):
         return combined_perceptual_loss(out, clean).total
 
     writer = ScalarWriter(os.path.join(run_dir, "tensorboard_logs"))
-    best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     history = []
     from itertools import chain
 
@@ -400,11 +396,7 @@ def _train_pp(args, cfg, train_batches, val_batches):
             full = trainer.unpack_state(state)
             export_model(best_path, full["params"], full["batch_stats"])
             exported_best = True
-            import json as _json
-
-            with open(os.path.splitext(best_path)[0] + ".val.json",
-                      "w") as f:
-                _json.dump({"val_loss": best_val, "epoch": epoch}, f)
+            ckpt_lib.record_best_val(best_path, best_val, epoch)
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
@@ -626,7 +618,6 @@ def main(argv=None):
                 key=jax.random.key(args.seed),
             )
         print(f"Router held-out accuracy: {acc:.3f}")
-        import json
 
         def export_router(path):
             export_model(path, jax.device_get(state.params), {})
@@ -704,8 +695,6 @@ def main(argv=None):
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)
-
-    import json
 
     run_meta = os.path.splitext(result["best_path"])[0] + ".json"
     if mask_meta is not None and result.get("exported_best"):

@@ -593,7 +593,8 @@ def evaluate_routed_waveform(
     from audiodenoiser_tpu.data.builders import _corrupt_and_featurize
     from audiodenoiser_tpu.data.pipeline import NoiseBank
     from audiodenoiser_tpu.data.wav_io import load_wav_list, read_wav
-    from audiodenoiser_tpu.eval.metrics import si_sdr
+    from audiodenoiser_tpu.eval.metrics import pesq, si_sdr, stoi
+    from audiodenoiser_tpu.eval.runner import batch_metric_mean
 
     clean_files = load_wav_list(clean_dir)
     if not clean_files:
@@ -648,14 +649,10 @@ def evaluate_routed_waveform(
         # STOI/PESQ like the known-type waveform eval; per-clip degenerate
         # inputs drop out of the mean (metrics vanish only if NO clip is
         # scorable)
-        from audiodenoiser_tpu.eval.runner import batch_metric_mean
-
         clean_np = np.asarray(clean)
         noisy_np = np.asarray(noisy)
         den_np = np.asarray(den)
         try:
-            from audiodenoiser_tpu.eval.metrics import stoi
-
             metrics["stoi_noisy"] = batch_metric_mean(
                 stoi, clean_np, noisy_np, sample_rate
             )
@@ -665,8 +662,6 @@ def evaluate_routed_waveform(
         except ValueError:
             pass
         try:
-            from audiodenoiser_tpu.eval.metrics import pesq
-
             metrics["pesq_noisy"] = batch_metric_mean(
                 pesq, clean_np, noisy_np, sample_rate
             )

@@ -90,3 +90,28 @@ def saved_keys(ckpt_dir: str) -> set[str]:
     if hasattr(tree, "tree"):
         tree = tree.tree
     return set(tree.keys())
+
+
+def record_best_val(ckpt_path: str, val_loss: float, epoch: int) -> None:
+    """Write the ``.val.json`` sidecar beside a best-model export.
+
+    The resume state can be coarser than the per-epoch best export
+    (``--ckpt_every``); this sidecar keeps the exported checkpoint's val
+    loss authoritative across resumes (see :func:`best_val_floor`)."""
+    import json
+
+    with open(os.path.splitext(ckpt_path)[0] + ".val.json", "w") as f:
+        json.dump({"val_loss": val_loss, "epoch": epoch}, f)
+
+
+def best_val_floor(ckpt_path: str, current: float) -> float:
+    """min(current, the ``.val.json``-recorded loss) — applied after an
+    ACTUAL resume restore so a stale restored best_val cannot let a worse
+    model overwrite an already-better export."""
+    import json
+
+    meta = os.path.splitext(ckpt_path)[0] + ".val.json"
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return min(current, float(json.load(f)["val_loss"]))
+    return current

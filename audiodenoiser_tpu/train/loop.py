@@ -331,29 +331,13 @@ def fit(
     best_path = os.path.join(ckpt_dir, "best_model.ckpt")
     best_ema_path = os.path.join(ckpt_dir, "best_model_ema.ckpt")
     if did_restore:
-        # --ckpt_every makes the resume state coarser than the per-epoch
-        # best export: the restored best_val can be stale relative to an
-        # already-written better best_model.ckpt, and a resumed run with a
-        # worse val loss would silently overwrite it. Every best export
-        # records its val loss in a tiny sidecar; on resume the better
-        # (lower) of the two wins. Applied only after an ACTUAL restore —
-        # a fresh start (no train_state yet) must not inherit a floor from
-        # some earlier run's sidecar, which may be on a different loss
-        # scale and would suppress every export of the new run.
-        for p, attr in ((best_path, "best_val"),
-                        (best_ema_path, "best_ema_val")):
-            meta = os.path.splitext(p)[0] + ".val.json"
-            if os.path.exists(meta):
-                with open(meta) as f:
-                    recorded = float(json.load(f)["val_loss"])
-                if attr == "best_val":
-                    best_val = min(best_val, recorded)
-                else:
-                    best_ema_val = min(best_ema_val, recorded)
-
-    def _record_best(path: str, val: float, epoch: int) -> None:
-        with open(os.path.splitext(path)[0] + ".val.json", "w") as f:
-            json.dump({"val_loss": val, "epoch": epoch}, f)
+        # the restored best_val can be stale relative to an already-written
+        # better export (--ckpt_every); the sidecar keeps it honest.
+        # Applied only after an ACTUAL restore — a fresh start must not
+        # inherit a floor from some earlier run's sidecar, which may be on
+        # a different loss scale and would suppress every export.
+        best_val = ckpt_lib.best_val_floor(best_path, best_val)
+        best_ema_val = ckpt_lib.best_val_floor(best_ema_path, best_ema_val)
     if config.ema_decay:
         if ema_params is None:
             ema_params = jax.tree_util.tree_map(lambda p: p + 0, state.params)
@@ -439,7 +423,7 @@ def fit(
             ckpt_lib.export_model(
                 best_path, jax.device_get(state.params), jax.device_get(state.batch_stats)
             )
-            _record_best(best_path, best_val, epoch)
+            ckpt_lib.record_best_val(best_path, best_val, epoch)
             exported_best = True
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
@@ -451,7 +435,7 @@ def fit(
                 jax.device_get(ema_params),
                 jax.device_get(state.batch_stats),
             )
-            _record_best(best_ema_path, best_ema_val, epoch)
+            ckpt_lib.record_best_val(best_ema_path, best_ema_val, epoch)
             logger.info(
                 f"New best EMA model saved to {best_ema_path} "
                 f"(EMA Val Loss: {best_ema_val:.6f})"
