@@ -41,6 +41,9 @@ def main(argv=None):
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from audiodenoiser_tpu.utils.backend import require_device
+
+    require_device(who="create_train_dataset")
     from audiodenoiser_tpu.data.builders import build_train_dataset
 
     n = build_train_dataset(

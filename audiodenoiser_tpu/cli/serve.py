@@ -79,6 +79,9 @@ def main(argv=None):
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from audiodenoiser_tpu.utils.backend import require_device
+
+    require_device(who="serve")
 
     import jax
     import jax.numpy as jnp

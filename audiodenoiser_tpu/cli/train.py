@@ -441,6 +441,9 @@ def main(argv=None):
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from audiodenoiser_tpu.utils.backend import require_device
+
+    require_device(who="train")
 
     if args.noise_type == "all":
         # the reference's implied workflow (SURVEY.md §1 breakage 2): one

@@ -246,35 +246,10 @@ def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
 
 
 def _require_device(timeout_s: float = 180.0) -> None:
-    """Fail fast if the JAX backend cannot initialize.
+    """Fail fast if the JAX backend cannot initialize (shared guard)."""
+    from audiodenoiser_tpu.utils.backend import require_device
 
-    Against a dead axon relay, ``jax.devices()`` blocks forever; a bench
-    that hangs until an external kill records nothing useful. Probe the
-    backend from a daemon thread with a deadline and exit with a clear
-    message instead (no fabricated numbers, an honest failure line)."""
-    import threading
-
-    result: list = []
-
-    def probe():
-        try:
-            import jax
-
-            jax.devices()
-            result.append(True)
-        except Exception as e:  # surfaced below
-            result.append(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not result:
-        raise SystemExit(
-            f"bench: JAX backend did not initialize within {timeout_s:.0f}s "
-            "(TPU relay down?) — refusing to hang"
-        )
-    if result[0] is not True:
-        raise SystemExit(f"bench: backend init failed: {result[0]}")
+    require_device(timeout_s, who="bench")
 
 
 def main(argv=None):
