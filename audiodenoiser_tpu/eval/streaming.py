@@ -31,6 +31,32 @@ from audiodenoiser_tpu.dsp.window import hann_window
 from audiodenoiser_tpu.eval.runner import DenoiserRunner
 
 
+def _dispatch_hop_buckets(step_fn, state, hops: np.ndarray):
+    """Run a multi-hop session step in power-of-two-sized dispatches.
+
+    The compiled step is shape-specialized on the hop count k, so a caller
+    feeding variable-size packets would compile one program per distinct k
+    it ever produces — 20-40 s each on the TPU (measured: a session fed
+    16000-sample packets at hop 1024 alternated k=15/k=16 and spent 30 s
+    "steady state" in recompiles). Splitting k into its binary
+    decomposition (largest bucket first) bounds the resident program count
+    at log2(k_max) while costing at most popcount(k) dispatches per call;
+    the session state threads sequentially through the buckets, so the
+    result is bit-identical to a single k-sized scan. Fixed-size packets
+    whose k is a power of two still hit exactly one dispatch.
+    """
+    outs = []
+    i = 0
+    k = hops.shape[0]
+    while k:
+        b = 1 << (k.bit_length() - 1)
+        state, out = step_fn(state, jnp.asarray(hops[i:i + b]))
+        outs.append(np.asarray(out))
+        i += b
+        k -= b
+    return state, (np.concatenate(outs) if len(outs) > 1 else outs[0])
+
+
 class StreamingDenoiser:
     """Chunked WOLA denoiser around a fused single-chunk graph."""
 
@@ -119,14 +145,16 @@ class StreamingSession:
 
     The WOLA state — previous input hop + overlap-add carry — lives ON
     DEVICE between calls: one ``process()`` call stages the completed hops,
-    runs a single compiled multi-hop scan (one host->device transfer, one
-    dispatch, one device->host transfer) and returns every finalized hop.
-    The previous design round-tripped the full window and the accumulator
-    through the host once per hop, which made the session dispatch-bound on
-    the axon relay.
+    runs compiled multi-hop scans over power-of-two hop buckets
+    (:func:`_dispatch_hop_buckets` — at most popcount(k) dispatches) and
+    returns every finalized hop. The previous design round-tripped the full
+    window and the accumulator through the host once per hop, which made
+    the session dispatch-bound on the axon relay.
 
-    The step is shape-specialized per hop-count; real-time callers feeding
-    fixed-size packets hit one cache entry. The synthetic half-window of
+    The step is shape-specialized per power-of-two hop-count; real-time
+    callers feeding fixed-size packets hit at most two cache entries (a
+    bucket decomposition is reused call after call). The synthetic
+    half-window of
     silence prepended to the stream (so the first real samples get full
     crossfade weight) is the zero-initialized ``prev_hop`` state; the first
     emitted hop is that lead-in and is dropped.
@@ -156,8 +184,9 @@ class StreamingSession:
             return np.zeros(0, np.float32)
         hops = self._staging[: k * p.hop].reshape(k, p.hop)
         self._staging = self._staging[k * p.hop :]
-        self._state, out = p._session_steps(self._state, jnp.asarray(hops))
-        out = np.asarray(out)
+        self._state, out = _dispatch_hop_buckets(
+            p._session_steps, self._state, hops
+        )
         if self._drop:
             d = min(self._drop, len(out))
             out = out[d:]
@@ -167,6 +196,145 @@ class StreamingSession:
     def flush(self) -> np.ndarray:
         """Pad with silence to flush buffered audio; returns the tail."""
         return self.process(np.zeros(self.p.chunk, np.float32))
+
+
+class LowLatencyStreamingDenoiser:
+    """Look-ahead-bounded streaming: full left context, small latency.
+
+    The WOLA session above has an algorithmic latency of one full chunk
+    (a sample only finalizes once the *next* 50%-overlapped window is in),
+    so low latency forces short windows and costs quality — the model was
+    trained on ~1 s crops and wants context. This variant decouples the
+    two: it keeps a rolling window of ``window_samples`` of input (the
+    model always sees the full training-scale left context) but emits
+    every ``hop_samples`` with only ``lookahead_samples`` of future audio
+    plus a ``xfade_samples`` crossfade seam, for an algorithmic latency of
+
+        hop + lookahead + xfade   samples
+
+    (e.g. 1024+512+256 = 224 ms at 8 kHz vs 2 s for the default WOLA
+    chunk). Each hop denoises the whole window through the fused
+    STFT -> U-Net -> iSTFT graph and finalizes the ``hop`` samples that
+    now have ``lookahead`` samples of right context — far from both window
+    edges, so boundary artifacts never reach the output. Consecutive
+    emissions are blended over ``xfade_samples`` with complementary ramps
+    (sums to one: a bypass network reconstructs the input exactly).
+
+    The price is compute: one ``window``-sized forward per ``hop`` of
+    audio, i.e. ``window/hop``x the offline cost — the measured trade-off
+    curve lives in docs/LATENCY.md. State (rolling window + crossfade
+    tail) is device-resident; a ``process()`` call with k completed hops
+    runs at most popcount(k) compiled scan dispatches
+    (:func:`_dispatch_hop_buckets`), like the WOLA session.
+    """
+
+    def __init__(
+        self,
+        runner: DenoiserRunner,
+        window_samples: int = 16000,
+        hop_samples: int = 1024,
+        lookahead_samples: int = 512,
+        xfade_samples: int = 256,
+        sample_rate: int = 8000,
+        mode: str = "noisy_phase",
+    ):
+        if xfade_samples > hop_samples:
+            raise ValueError("xfade_samples must be <= hop_samples")
+        if hop_samples + lookahead_samples + xfade_samples > window_samples:
+            raise ValueError(
+                "window too small for hop + lookahead + xfade"
+            )
+        self.runner = runner
+        self.window = window_samples
+        self.hop = hop_samples
+        self.lookahead = lookahead_samples
+        self.xfade = xfade_samples
+        self.sample_rate = sample_rate
+        self.mode = mode
+        if xfade_samples:
+            ramp = (jnp.arange(xfade_samples) + 1.0) / (xfade_samples + 1.0)
+        else:
+            ramp = jnp.zeros(0)
+        self._ramp_up = ramp.astype(jnp.float32)
+
+    @property
+    def latency_samples(self) -> int:
+        return self.hop + self.lookahead + self.xfade
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _denoise_window(self, window: jax.Array) -> jax.Array:
+        return self.runner.denoise_audio(
+            window[None, :], jax.random.key(0), mode=self.mode
+        )[0]
+
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _session_steps(self, state, hops: jax.Array):
+        """Advance the rolling window by ``hops.shape[0]`` hops in ONE
+        dispatch. state = (window (W,), prev_tail (xfade,))."""
+        W, H, L, X = self.window, self.hop, self.lookahead, self.xfade
+
+        def body(carry, new_hop):
+            buf, tail = carry
+            buf = jnp.concatenate([buf[H:], new_hop])
+            den = self._denoise_window(buf)
+            seg = jax.lax.dynamic_slice_in_dim(den, W - L - H - X, H + X)
+            head = self._ramp_up * seg[:X] + (1.0 - self._ramp_up) * tail
+            emit = jnp.concatenate([head, seg[X:H]])
+            return (buf, seg[H : H + X]), emit
+
+        state, outs = jax.lax.scan(body, state, hops)
+        return state, outs.reshape(-1)
+
+    def session(self) -> "LowLatencyStreamingSession":
+        return LowLatencyStreamingSession(self)
+
+
+class LowLatencyStreamingSession:
+    """Stateful wrapper over :class:`LowLatencyStreamingDenoiser`: push
+    samples, pull denoised samples with ``hop+lookahead+xfade`` latency.
+
+    The zero-initialized rolling window is the silent lead-in; the first
+    ``lookahead + xfade`` emitted samples belong to it and are dropped, so
+    output sample i is input sample i."""
+
+    def __init__(self, parent: LowLatencyStreamingDenoiser):
+        self.p = parent
+        self._staging = np.zeros(0, np.float32)
+        self._state = (
+            jnp.zeros(parent.window, jnp.float32),
+            jnp.zeros(parent.xfade, jnp.float32),
+        )
+        self._drop = parent.lookahead + parent.xfade
+
+    @property
+    def latency_samples(self) -> int:
+        return self.p.latency_samples
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        p = self.p
+        self._staging = np.concatenate(
+            [self._staging, np.asarray(samples, np.float32).ravel()]
+        )
+        k = len(self._staging) // p.hop
+        if k == 0:
+            return np.zeros(0, np.float32)
+        hops = self._staging[: k * p.hop].reshape(k, p.hop)
+        self._staging = self._staging[k * p.hop :]
+        self._state, out = _dispatch_hop_buckets(
+            p._session_steps, self._state, hops
+        )
+        if self._drop:
+            d = min(self._drop, len(out))
+            out = out[d:]
+            self._drop -= d
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Pad with silence to flush buffered audio; returns the tail."""
+        p = self.p
+        need = len(self._staging) + p.lookahead + p.xfade + p.hop
+        pad = int(np.ceil(need / p.hop)) * p.hop - len(self._staging)
+        return self.process(np.zeros(pad, np.float32))
 
 
 class RoutedStreamingSession:

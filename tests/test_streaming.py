@@ -32,6 +32,30 @@ def tiny_streamer():
     return StreamingDenoiser(runner, chunk_samples=2048)
 
 
+def test_dispatch_hop_buckets_binary_decomposition():
+    """k hops split into descending power-of-two buckets; state threads
+    through sequentially so the concatenated output is identical to one
+    k-sized scan."""
+    from audiodenoiser_tpu.eval.streaming import _dispatch_hop_buckets
+
+    seen = []
+
+    def step(state, hops):
+        seen.append(int(hops.shape[0]))
+        k = hops.shape[0]
+        # state counts hops consumed; output encodes (state + i) per hop
+        out = state + jnp.arange(1, k + 1, dtype=jnp.float32)
+        return state + k, jnp.repeat(out, hops.shape[1])
+
+    hops = np.zeros((13, 2), np.float32)
+    state, out = _dispatch_hop_buckets(step, jnp.float32(0), hops)
+    assert seen == [8, 4, 1]
+    assert int(state) == 13
+    np.testing.assert_array_equal(
+        out, np.repeat(np.arange(1, 14, dtype=np.float32), 2)
+    )
+
+
 class TestOffline:
     def test_identity_network_reconstructs_input(self, identity_streamer, rng):
         """COLA check: with a bypass net, streaming must reproduce the input."""
@@ -202,3 +226,101 @@ class TestRoutedStreaming:
         total_in = len(quiet) + len(loud)
         tail = y[: total_in][-(2 * chunk):]
         np.testing.assert_allclose(tail, 1.2 * np.ones_like(tail), atol=0.02)
+
+
+class TestLowLatency:
+    """Look-ahead-bounded streaming (LowLatencyStreamingDenoiser)."""
+
+    @pytest.fixture(scope="class")
+    def ll(self):
+        from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
+
+        runner = DenoiserRunner(_IdentityNet(), {})
+        return LowLatencyStreamingDenoiser(
+            runner, window_samples=4096, hop_samples=512,
+            lookahead_samples=256, xfade_samples=128,
+        )
+
+    def test_latency_budget(self, ll):
+        assert ll.latency_samples == 512 + 256 + 128
+        assert ll.latency_samples < ll.window  # the point of the variant
+
+    def test_bad_geometry_rejected(self):
+        from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
+
+        runner = DenoiserRunner(_IdentityNet(), {})
+        with pytest.raises(ValueError, match="xfade"):
+            LowLatencyStreamingDenoiser(runner, hop_samples=256,
+                                        xfade_samples=512)
+        with pytest.raises(ValueError, match="window too small"):
+            LowLatencyStreamingDenoiser(runner, window_samples=512,
+                                        hop_samples=400,
+                                        lookahead_samples=400)
+
+    def test_identity_session_reconstructs_input(self, ll, rng):
+        """Complementary crossfade ramps: a bypass net is exact."""
+        x = np.clip(rng.standard_normal(9000) * 0.2, -1, 1).astype(np.float32)
+        sess = ll.session()
+        pieces = [sess.process(p) for p in np.array_split(x, 11)]
+        pieces.append(sess.flush())
+        y = np.concatenate(pieces)
+        assert len(y) >= len(x)
+        np.testing.assert_allclose(y[: len(x)], x, atol=2e-3)
+
+    def test_nothing_before_first_hop_and_leadin_dropped(self, ll):
+        sess = ll.session()
+        assert len(sess.process(np.zeros(ll.hop - 1, np.float32))) == 0
+        # first completed hop emits hop minus the (lookahead+xfade) lead-in
+        out = sess.process(np.zeros(1, np.float32))
+        assert len(out) == ll.hop - (ll.lookahead + ll.xfade)
+
+    def test_steady_state_emission_rate(self, ll):
+        sess = ll.session()
+        sess.process(np.zeros(4 * ll.hop, np.float32))
+        for _ in range(3):
+            assert len(sess.process(np.zeros(ll.hop, np.float32))) == ll.hop
+
+    def test_multi_hop_packet_is_one_dispatch(self, ll, rng):
+        from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
+
+        sd = LowLatencyStreamingDenoiser(
+            ll.runner, window_samples=ll.window,
+            hop_samples=ll.hop, lookahead_samples=ll.lookahead,
+            xfade_samples=ll.xfade,
+        )
+        sess = sd.session()
+        calls = []
+        orig = sd._session_steps
+
+        def counting(state, hops):
+            calls.append(hops.shape)
+            return orig(state, hops)
+
+        sd._session_steps = counting
+        x = np.clip(
+            rng.standard_normal(5 * sd.hop) * 0.2, -1, 1
+        ).astype(np.float32)
+        sess.process(x)
+        # 5 hops -> power-of-two buckets (4, 1): bounded program count
+        # under variable packet sizes, not one program per distinct k
+        assert calls == [(4, sd.hop), (1, sd.hop)]
+
+    def test_real_network_runs(self, rng):
+        from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
+
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(
+            jax.random.key(0), model, input_shape=(1, 32, 32, 1)
+        )
+        runner = DenoiserRunner(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        sd = LowLatencyStreamingDenoiser(
+            runner, window_samples=4096, hop_samples=1024,
+            lookahead_samples=256, xfade_samples=128,
+        )
+        sess = sd.session()
+        x = np.clip(rng.standard_normal(6000) * 0.2, -1, 1).astype(np.float32)
+        y = np.concatenate([sess.process(x), sess.flush()])
+        assert len(y) >= len(x)
+        assert np.all(np.isfinite(y))
