@@ -65,6 +65,15 @@ def parse_args(argv=None):
         "noise_router.ckpt; see cli.train --model router).",
     )
     p.add_argument(
+        "--stream_latency_ms", type=float, default=None,
+        help="serve /stream sessions with the look-ahead-bounded "
+        "low-latency engine at this end-to-end latency budget (e.g. 224) "
+        "instead of the default WOLA sessions whose latency is one full "
+        "chunk (bucket_seconds). The model still sees a full 2 s rolling "
+        "context; compute rises as context/hop (docs/LATENCY.md). "
+        "Routed (mode=auto) streams keep WOLA.",
+    )
+    p.add_argument(
         "--bypass_db", type=float, default=None,
         help="identity-bypass gate: clips whose relative model-change "
         "energy is below -bypass_db are returned verbatim (bit-exact "
@@ -152,6 +161,7 @@ def main(argv=None):
     # chunked low-latency streaming sessions (POST /stream/start|{id}):
     # one shared StreamingDenoiser so sessions reuse its compiled graphs
     from audiodenoiser_tpu.eval.streaming import (
+        LowLatencyStreamingDenoiser,
         RoutedStreamingSession,
         StreamingDenoiser,
     )
@@ -161,10 +171,16 @@ def main(argv=None):
     stream_mode = (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
-    streamer = StreamingDenoiser(
-        runner, chunk_samples=chunk, sample_rate=args.sample_rate,
-        mode=stream_mode,
-    )
+    if args.stream_latency_ms is not None:
+        streamer = LowLatencyStreamingDenoiser.from_latency_budget(
+            runner, args.stream_latency_ms, sample_rate=args.sample_rate,
+            window_samples=chunk, mode=stream_mode,
+        )
+    else:
+        streamer = StreamingDenoiser(
+            runner, chunk_samples=chunk, sample_rate=args.sample_rate,
+            mode=stream_mode,
+        )
     routed_mixture = mixture if args.auto_route else None
 
     def stream_factory(mode):
@@ -178,9 +194,14 @@ def main(argv=None):
     server = make_http_server(
         service, args.host, args.port, stream_factory=stream_factory
     )
+    stream_desc = (
+        f"low-latency {streamer.latency_samples * 1000 // args.sample_rate} ms"
+        if args.stream_latency_ms is not None
+        else f"WOLA chunk={chunk}"
+    )
     print(
         f"Serving {stem}_{args.noise_type} on http://{args.host}:{args.port} "
-        f"(mode={default_mode}, streaming chunk={chunk})"
+        f"(mode={default_mode}, streaming {stream_desc})"
     )
     try:
         server.serve_forever()

@@ -257,6 +257,42 @@ class LowLatencyStreamingDenoiser:
             ramp = jnp.zeros(0)
         self._ramp_up = ramp.astype(jnp.float32)
 
+    @classmethod
+    def from_latency_budget(
+        cls,
+        runner: DenoiserRunner,
+        latency_ms: float,
+        sample_rate: int = 8000,
+        window_samples: int = 16000,
+        mode: str = "noisy_phase",
+    ) -> "LowLatencyStreamingDenoiser":
+        """Derive a session geometry from an end-to-end latency budget.
+
+        Splits the budget 4:2:1 into hop : lookahead : crossfade — the
+        ratio of the measured sweet spot in docs/LATENCY.md (more hop =
+        fewer forwards per second; enough lookahead/xfade to keep seams
+        out of the output). The produced ``latency_samples`` equals the
+        budget exactly (rounding lands in the crossfade share).
+        """
+        budget = int(round(latency_ms * sample_rate / 1000.0))
+        if budget < 16:
+            raise ValueError(
+                f"latency budget {latency_ms} ms = {budget} samples at "
+                f"{sample_rate} Hz is too small (min 16 samples)"
+            )
+        hop = max(1, budget * 4 // 7)
+        lookahead = budget * 2 // 7
+        xfade = budget - hop - lookahead  # absorbs rounding; <= hop by split
+        return cls(
+            runner,
+            window_samples=window_samples,
+            hop_samples=hop,
+            lookahead_samples=lookahead,
+            xfade_samples=xfade,
+            sample_rate=sample_rate,
+            mode=mode,
+        )
+
     @property
     def latency_samples(self) -> int:
         return self.hop + self.lookahead + self.xfade

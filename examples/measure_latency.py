@@ -1,0 +1,106 @@
+"""Measure the streaming latency/throughput trade-off curve (docs/LATENCY.md).
+
+For each streaming configuration this times the *steady-state real-time
+pattern* — one ``process()`` call per hop-sized packet, state device-resident
+between calls — and reports the algorithmic latency beside the measured
+real-time factor (seconds of audio denoised per wall second; RTF > 1 keeps up
+with a live stream). Two session families:
+
+- WOLA (``StreamingDenoiser``): latency = one full chunk; lowering latency
+  shrinks the window the model sees (it was trained on 2 s crops).
+- Low-latency (``LowLatencyStreamingDenoiser``): rolling full-context window,
+  latency = hop + lookahead + xfade, at ``window/hop``x the compute.
+
+Weights do not affect timing, so the model is random-init by default; pass
+``--ckpt`` to time a real checkpoint (same graph, same numbers).
+
+Usage: python examples/measure_latency.py [--out json_path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from audiodenoiser_tpu.eval.runner import DenoiserRunner
+from audiodenoiser_tpu.eval.streaming import (
+    LowLatencyStreamingDenoiser,
+    StreamingDenoiser,
+)
+from audiodenoiser_tpu.models.unet import UNet
+from audiodenoiser_tpu.train.loop import create_train_state
+
+
+def time_session(make_session, hop: int, sample_rate: int, n_iters: int = 30):
+    """Steady per-packet wall time of a session fed hop-sized packets."""
+    sess = make_session()
+    rng = np.random.default_rng(0)
+    packet = np.clip(rng.standard_normal(hop) * 0.2, -1, 1).astype(np.float32)
+    # prime: fill the lead-in and compile the k=1 program
+    for _ in range(3):
+        sess.process(packet)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        sess.process(packet)
+    dt = (time.perf_counter() - t0) / n_iters
+    return dt, (hop / sample_rate) / dt  # per-packet seconds, RTF
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write results as JSON here")
+    ap.add_argument("--sample_rate", type=int, default=8000)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args(argv)
+    sr = args.sample_rate
+
+    model = UNet()
+    state = create_train_state(
+        jax.random.key(0), model, input_shape=(1, 256, 64, 1)
+    )
+    runner = DenoiserRunner(
+        model, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+
+    rows = []
+    for chunk in (16000, 8000, 4000, 2048):
+        sd = StreamingDenoiser(runner, chunk_samples=chunk, sample_rate=sr)
+        dt, rtf = time_session(sd.session, sd.hop, sr, args.iters)
+        rows.append({
+            "family": "wola", "config": f"chunk={chunk}",
+            "context_samples": chunk,
+            "latency_ms": 1000.0 * sd.session().latency_samples / sr,
+            "packet_ms": 1000.0 * sd.hop / sr,
+            "step_ms": 1000.0 * dt, "rtf": rtf,
+        })
+        print(rows[-1], flush=True)
+
+    for hop, la, xf in ((4096, 1024, 512), (2048, 512, 256),
+                        (1024, 512, 256), (512, 256, 128)):
+        sd = LowLatencyStreamingDenoiser(
+            runner, window_samples=16000, hop_samples=hop,
+            lookahead_samples=la, xfade_samples=xf, sample_rate=sr,
+        )
+        dt, rtf = time_session(sd.session, hop, sr, args.iters)
+        rows.append({
+            "family": "low_latency",
+            "config": f"hop={hop},lookahead={la},xfade={xf}",
+            "context_samples": sd.window,
+            "latency_ms": 1000.0 * sd.latency_samples / sr,
+            "packet_ms": 1000.0 * hop / sr,
+            "step_ms": 1000.0 * dt, "rtf": rtf,
+        })
+        print(rows[-1], flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -471,6 +471,71 @@ class TestServeCLIArgs:
         with pytest.raises(SystemExit):
             parse_args(["--noise_type", "pink"])
 
+    def test_stream_latency_flag(self):
+        from audiodenoiser_tpu.cli.serve import parse_args
+
+        assert parse_args([]).stream_latency_ms is None
+        args = parse_args(["--stream_latency_ms", "224"])
+        assert args.stream_latency_ms == 224.0
+
+
+class TestLowLatencyStreamHTTP:
+    """/stream sessions served by the look-ahead-bounded engine
+    (cli.serve --stream_latency_ms)."""
+
+    @pytest.fixture(scope="class")
+    def ll_stream_url(self):
+        from audiodenoiser_tpu.eval.streaming import (
+            LowLatencyStreamingDenoiser,
+        )
+
+        class _Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        runner = DenoiserRunner(_Identity(), {})
+        service = DenoiseService(runner, bucket_samples=8000)
+        streamer = LowLatencyStreamingDenoiser.from_latency_budget(
+            runner, latency_ms=112.0, sample_rate=8000, window_samples=4096
+        )
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: streamer.session(),
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}", streamer
+        server.shutdown()
+
+    def _post(self, url, data=b""):
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    def test_low_latency_session_roundtrip(self, ll_stream_url, rng):
+        url, streamer = ll_stream_url
+        info = json.loads(self._post(f"{url}/stream/start"))
+        sid = info["session"]
+        latency = info["latency_samples"]
+        assert latency == streamer.latency_samples  # 896 @112 ms, not 2 s
+        x = np.clip(rng.standard_normal(6000) * 0.2, -1, 1).astype(np.float32)
+        got = []
+        pushed = 0
+        for piece in np.array_split(x, 9):
+            out = self._post(
+                f"{url}/stream/{sid}", piece.astype("<f4").tobytes()
+            )
+            got.append(np.frombuffer(out, "<f4"))
+            pushed += len(piece)
+            assert sum(len(g) for g in got) >= pushed - latency
+        got.append(np.frombuffer(
+            self._post(f"{url}/stream/{sid}/flush"), "<f4"
+        ))
+        y = np.concatenate(got)
+        assert len(y) >= len(x)
+        np.testing.assert_allclose(y[: len(x)], x, atol=2e-3)
+
 
 class TestMetricsEndpoint:
     def test_metrics_exposes_counters_and_latency_histogram(

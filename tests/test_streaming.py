@@ -305,6 +305,29 @@ class TestLowLatency:
         # under variable packet sizes, not one program per distinct k
         assert calls == [(4, sd.hop), (1, sd.hop)]
 
+    def test_from_latency_budget_geometry(self):
+        from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
+
+        runner = DenoiserRunner(_IdentityNet(), {})
+        sd = LowLatencyStreamingDenoiser.from_latency_budget(
+            runner, latency_ms=224.0, sample_rate=8000
+        )
+        # the budget is honored exactly; 4:2:1 hop:lookahead:xfade split
+        assert sd.latency_samples == 1792
+        assert sd.hop == 1024 and sd.lookahead == 512 and sd.xfade == 256
+        # rounding always lands in the crossfade share, never breaks the
+        # geometry invariants
+        for ms in (33.0, 100.0, 97.3, 500.0):
+            sd = LowLatencyStreamingDenoiser.from_latency_budget(
+                runner, latency_ms=ms, sample_rate=8000
+            )
+            assert sd.latency_samples == int(round(ms * 8))
+            assert sd.xfade <= sd.hop
+        with pytest.raises(ValueError, match="too small"):
+            LowLatencyStreamingDenoiser.from_latency_budget(
+                runner, latency_ms=1.0, sample_rate=8000
+            )
+
     def test_real_network_runs(self, rng):
         from audiodenoiser_tpu.eval.streaming import LowLatencyStreamingDenoiser
 
