@@ -50,6 +50,57 @@ def music_clip(rng: np.random.Generator, seconds: float, sr: int) -> np.ndarray:
     return (0.7 * out / max(peak, 1e-9)).astype(np.float32)
 
 
+def speech_clip(rng: np.random.Generator, seconds: float, sr: int) -> np.ndarray:
+    """Formant-synthesized pseudo-speech: voiced glottal pulse trains run
+    through vowel-like resonators, alternating with fricative bursts and
+    pauses. No real speech leaves or enters this zero-egress box — but the
+    spectro-temporal statistics (pitch contours, formant structure, syllabic
+    rhythm, silences) are speech-shaped, adding the clean-signal variety the
+    music generator lacks (docs/STATUS.md: the library size/variety is the
+    measured quality ceiling)."""
+    from scipy.signal import lfilter
+
+    n = int(seconds * sr)
+    out = np.zeros(n, np.float64)
+    # vowel-ish (F1, F2, F3) targets in Hz
+    vowels = [(730, 1090, 2440), (270, 2290, 3010), (300, 870, 2240),
+              (660, 1720, 2410), (440, 1020, 2240)]
+    t = 0
+    while t < n:
+        seg = min(int(rng.uniform(0.08, 0.35) * sr), n - t)
+        kind = rng.random()
+        if kind < 0.15:  # inter-word pause
+            t += seg
+            continue
+        env = np.minimum(1.0, np.minimum(np.arange(seg), seg - np.arange(seg))
+                         / (0.015 * sr + 1e-9))
+        if kind < 0.30:  # unvoiced fricative: high-passed noise burst
+            x = np.diff(rng.standard_normal(seg), prepend=0.0)
+            out[t:t + seg] += 0.15 * env * x
+            t += seg
+            continue
+        # voiced: glottal pulse train with a pitch glide
+        f0 = rng.uniform(80, 250)
+        glide = rng.uniform(-0.3, 0.3)
+        inst_f = f0 * (1.0 + glide * np.arange(seg) / max(seg, 1))
+        phase = 2 * np.pi * np.cumsum(inst_f) / sr
+        # soft sawtooth glottal source (first few harmonics)
+        src = sum(np.sin(k * phase) / k for k in range(1, 5))
+        f1, f2, f3 = vowels[rng.integers(len(vowels))]
+        x = src
+        for fc, bw in ((f1, 60), (f2, 90), (f3, 120)):
+            if fc >= sr / 2 * 0.95:
+                continue
+            r = np.exp(-np.pi * bw / sr)
+            th = 2 * np.pi * fc / sr
+            x = lfilter([1 - r], [1, -2 * r * np.cos(th), r * r], x)
+        peak = np.abs(x).max()
+        out[t:t + seg] += rng.uniform(0.25, 0.5) * env * x / max(peak, 1e-9)
+        t += seg
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-9)).astype(np.float32)
+
+
 def band_noise(rng: np.random.Generator, seconds: float, sr: int,
                lo: float, hi: float) -> np.ndarray:
     """Band-limited noise via FFT masking (engine hum / crowd / hiss…)."""
@@ -68,6 +119,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_train", type=int, default=60)
     p.add_argument("--n_test", type=int, default=8)
+    p.add_argument("--speech_fraction", type=float, default=0.0,
+                   help="fraction of clean clips synthesized as formant "
+                   "pseudo-speech instead of harmonic 'music' (0 keeps the "
+                   "original library bit-identical; 0.5 recommended for "
+                   "clean-signal variety)")
     args = p.parse_args(argv)
     rng = np.random.default_rng(args.seed)
 
@@ -78,9 +134,11 @@ def main(argv=None):
         ndir = os.path.join(args.root, "data", split, "noise")
         os.makedirs(cdir, exist_ok=True)
         os.makedirs(ndir, exist_ok=True)
+        n_speech = int(round(n_clips * args.speech_fraction))
         for i in range(n_clips):
+            gen = speech_clip if i < n_speech else music_clip
             write_wav(os.path.join(cdir, f"clip_{i:03d}.wav"),
-                      music_clip(rng, secs, args.sr), args.sr)
+                      gen(rng, secs, args.sr), args.sr)
         for i, (lo, hi) in enumerate(bands):
             write_wav(os.path.join(ndir, f"noise_{i}.wav"),
                       band_noise(rng, 8.0, args.sr, lo, hi), args.sr)
