@@ -124,6 +124,14 @@ def parse_args(argv=None):
         "pp_microbatches * data replicas).",
     )
     ext.add_argument(
+        "--width_mult", type=float, default=1.0,
+        help="channel-width multiplier for a compact student model "
+        "(0.5 -> 7.8M params, 0.25 -> 2.0M; widths round to multiples of "
+        "8 for MXU lanes). Recorded in the checkpoint sidecar so eval/"
+        "serve rebuild the right architecture. 1.0 = reference 31M-param "
+        "U-Net.",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -270,7 +278,13 @@ def _train_pp(args, cfg, train_batches, val_batches):
     first = next(it0)
     f_dim, t_dim, c_dim = np.asarray(first[0]).shape[1:]
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-    model = loop_mod.UNet(dtype=dtype, remat=False)
+    width_kwargs = {}
+    if cfg.width_mult != 1.0:
+        from audiodenoiser_tpu.models.unet import scaled_widths
+
+        feats, bottleneck = scaled_widths(cfg.width_mult)
+        width_kwargs = {"features": feats, "bottleneck": bottleneck}
+    model = loop_mod.UNet(dtype=dtype, remat=False, **width_kwargs)
     variables = model.init(
         jax.random.key(cfg.seed), jnp.zeros((1, f_dim, t_dim, c_dim))
     )
@@ -425,6 +439,13 @@ def _train_pp(args, cfg, train_batches, val_batches):
         )
         if os.path.exists(best_path):
             shutil.copyfile(best_path, dst)
+            if cfg.width_mult != 1.0 and exported_best:
+                # compact-student sidecar: the loader rebuilds the scaled
+                # architecture from it (same flow as the mask head)
+                import json as _json
+
+                with open(os.path.splitext(dst)[0] + ".json", "w") as f:
+                    _json.dump({"width_mult": cfg.width_mult}, f)
             print(f"Exported best model to {dst}")
     return {
         "best_val": best_val,
@@ -498,6 +519,7 @@ def main(argv=None):
         ema_decay=args.ema_decay,
         model_parallel=args.model_parallel,
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
+        width_mult=args.width_mult,
         extra_config=vars(args),
     )
 
@@ -680,13 +702,21 @@ def main(argv=None):
         residual = args.mask_residual == "on"
         mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w,
                      "si_sdr_clamp": si_clamp, "residual": residual}
+        width_kwargs = {}
+        if args.width_mult != 1.0:
+            from audiodenoiser_tpu.models.unet import scaled_widths
+
+            feats, bottleneck = scaled_widths(args.width_mult)
+            width_kwargs = {"features": feats, "bottleneck": bottleneck}
+            mask_meta["width_mult"] = args.width_mult
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
                 ComplexMaskUNet(dtype=dtype, mask_bound=bound,
                                 residual=residual,
-                                zero_out_init=residual),
+                                zero_out_init=residual,
+                                **width_kwargs),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
                 warmup_steps=args.warmup_steps,
@@ -695,6 +725,10 @@ def main(argv=None):
             ),
             steps=make_mask_steps(si_w, si_sdr_clamp=si_clamp),
         )
+    elif args.model == "unet" and args.width_mult != 1.0:
+        # compact magnitude-family student: the loader needs the width to
+        # rebuild the architecture (same sidecar flow the mask head uses)
+        mask_meta = {"width_mult": args.width_mult}
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)
@@ -735,7 +769,7 @@ def main(argv=None):
                 meta_payload = None
                 print(
                     "WARNING: exporting a checkpoint from an earlier run "
-                    "with no recorded mask sidecar; its head config is "
+                    "with no recorded model sidecar; its head config is "
                     "unknown, so no sidecar is written (loader will use "
                     "defaults)."
                 )

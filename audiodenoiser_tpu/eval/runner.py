@@ -117,24 +117,32 @@ def load_model_for_noise(
     if not os.path.exists(path):
         raise FileNotFoundError(f"Model file not found: {path}")
     if model is None:
+        # sidecar written by cli.train: architecture hyperparameters the
+        # checkpoint alone cannot convey (mask bound / residual head for
+        # the mask family; width_mult for compact students of either
+        # family)
+        meta = {}
+        sidecar = os.path.splitext(path)[0] + ".json"
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as f:
+                meta = json.load(f)
+        kwargs = {}
+        if float(meta.get("width_mult", 1.0)) != 1.0:
+            from audiodenoiser_tpu.models.unet import scaled_widths
+
+            feats, bottleneck = scaled_widths(float(meta["width_mult"]))
+            kwargs["features"] = feats
+            kwargs["bottleneck"] = bottleneck
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 
-            # sidecar written by cli.train: the mask bound is a head
-            # hyperparameter the checkpoint alone cannot convey (the
-            # noise_cancellation specialist trains with a wider bound)
-            kwargs = {}
-            sidecar = os.path.splitext(path)[0] + ".json"
-            if os.path.exists(sidecar):
-                import json
-
-                with open(sidecar) as f:
-                    meta = json.load(f)
-                kwargs["mask_bound"] = float(meta.get("mask_bound", 2.0))
-                kwargs["residual"] = bool(meta.get("residual", False))
+            kwargs["mask_bound"] = float(meta.get("mask_bound", 2.0))
+            kwargs["residual"] = bool(meta.get("residual", False))
             model = ComplexMaskUNet(dtype=dtype, **kwargs)
         else:
-            model = UNet(dtype=dtype)
+            model = UNet(dtype=dtype, **kwargs)
     in_ch = 3 if stem == "mask_denoiser" else 1
     template = jax.eval_shape(
         lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, in_ch)))

@@ -138,6 +138,24 @@ class UNet(nn.Module):
         return x.astype(in_dtype)
 
 
+def scaled_widths(width_mult: float = 1.0) -> tuple[tuple[int, ...], int]:
+    """Channel widths for a width-scaled U-Net family.
+
+    ``width_mult=1.0`` is the reference architecture (64..512, bottleneck
+    1024, 31.0 M params — ``model.py:53-68``); fractional multipliers give
+    compact students for latency-bound serving (0.5 -> 7.8 M, 0.25 ->
+    2.0 M params). Widths round to multiples of 8 so every channel count
+    tiles the MXU lane dimension cleanly.
+    """
+    if width_mult <= 0:
+        raise ValueError(f"width_mult must be positive, got {width_mult}")
+
+    def _scale(c: int) -> int:
+        return max(8, int(round(c * width_mult / 8)) * 8)
+
+    return tuple(_scale(c) for c in (64, 128, 256, 512)), _scale(1024)
+
+
 def count_params(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 

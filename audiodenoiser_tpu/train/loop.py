@@ -188,6 +188,9 @@ class FitConfig:
     ema_decay: float | None = None  # e.g. 0.999: track an exponential
     # moving average of the params, validate it each epoch, and export the
     # best-EMA checkpoint alongside the raw best
+    width_mult: float = 1.0  # channel-width multiplier for the compact
+    # student family (models.unet.scaled_widths); 1.0 is the reference
+    # 31 M-param architecture
     extra_config: dict = field(default_factory=dict)
 
 
@@ -269,9 +272,16 @@ def fit(
     if state_factory is not None:
         state = state_factory()
     else:
+        width_kwargs = {}
+        if config.width_mult != 1.0:
+            from audiodenoiser_tpu.models.unet import scaled_widths
+
+            feats, bottleneck = scaled_widths(config.width_mult)
+            width_kwargs = {"features": feats, "bottleneck": bottleneck}
         model = UNet(
             dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
             remat=config.remat,
+            **width_kwargs,
         )
         state = create_train_state(
             jax.random.key(config.seed),

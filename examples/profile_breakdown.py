@@ -1,0 +1,154 @@
+"""Per-stage wall-clock decomposition of the fused inference graph.
+
+``bench.py`` reports one aggregate roofline for STFT -> U-Net -> iSTFT
+(121.9 TFLOP/s = 62% of v5e bf16 peak at batch 1024). This harness answers
+*where the other 38% goes*: it times each DoubleConv level, each transposed
+conv, and the DSP front/back ends as separately-jitted programs at the exact
+shapes the fused graph runs them, and prints measured TFLOP/s per stage next
+to its analytic FLOPs. Stages that land far below peak are the optimization
+targets (docs/STATUS.md round-4 candidate: the cin=1 stem at full spatial
+resolution).
+
+Per-stage numbers are upper bounds on fused cost (a standalone jit pays HBM
+round trips for activations that XLA may keep fused in the full graph), so
+read them as a *relative* decomposition.
+
+Usage: python examples/profile_breakdown.py [--batch_size 1024] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiodenoiser_tpu.dsp import stft as stft_lib
+from audiodenoiser_tpu.models.unet import DoubleConv
+from flax import linen as nn
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def conv_flops(b, h, w, cin, cout, k=3):
+    return 2 * b * h * w * cin * cout * k * k
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--clip_seconds", type=float, default=2.0)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from audiodenoiser_tpu.utils.backend import require_device
+    from audiodenoiser_tpu.utils.cache import enable_persistent_cache
+
+    require_device(who="profile_breakdown")
+    enable_persistent_cache()
+
+    sr, n_fft, hop = 8000, 512, 128
+    b = args.batch_size
+    n = int(sr * args.clip_seconds)
+    f_bins = n_fft // 2 + 1           # 257
+    t_frames = 1 + n // hop           # 126 (center=True)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        np.clip(rng.standard_normal((b, n)) * 0.2, -1, 1), jnp.float32
+    )
+
+    rows = []
+
+    # --- DSP front/back ends (pallas path, as the TPU bench runs them) ---
+    prec = "pallas" if jax.default_backend() in ("tpu", "axon") else "fft"
+    stft_fn = jax.jit(
+        lambda x: stft_lib.stft(x, n_fft, hop, center=True, precision=prec)
+    )
+    spec = stft_fn(audio)
+    dt = timed(stft_fn, audio, iters=args.iters)
+    # real-DFT as matmul: 2 bases x (2 * frames * n_fft * f_bins)
+    rows.append(("stft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins))
+
+    istft_fn = jax.jit(
+        lambda s: stft_lib.istft(s, hop, n_fft=n_fft, center=True, length=n,
+                                 precision=prec)
+    )
+    dt = timed(istft_fn, spec, iters=args.iters)
+    rows.append(("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins))
+
+    # --- U-Net levels at the fused graph's shapes, bf16 like the bench ---
+    mag = jnp.abs(spec)[..., None].astype(jnp.bfloat16)  # (B, 257, 126, 1)
+
+    def dc_stage(name, x, feats):
+        mod = DoubleConv(feats, dtype=jnp.bfloat16)
+        variables = mod.init(jax.random.key(0), x[:1], False)
+        fn = jax.jit(lambda v, y: mod.apply(v, y, False))
+        out = fn(variables, x)
+        dt = timed(fn, variables, x, iters=args.iters)
+        h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+        fl = conv_flops(b, h, w, cin, feats) + conv_flops(b, h, w, feats, feats)
+        rows.append((name, dt, fl))
+        return out
+
+    def deconv_stage(name, x, feats):
+        mod = nn.ConvTranspose(feats, kernel_size=(2, 2), strides=(2, 2),
+                               padding="VALID", dtype=jnp.bfloat16,
+                               param_dtype=jnp.float32)
+        variables = mod.init(jax.random.key(0), x[:1])
+        fn = jax.jit(lambda v, y: mod.apply(v, y))
+        out = fn(variables, x)
+        dt = timed(fn, variables, x, iters=args.iters)
+        h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+        fl = 2 * b * h * w * cin * feats * 4
+        rows.append((name, dt, fl))
+        return out
+
+    pool = jax.jit(
+        lambda y: nn.max_pool(y, window_shape=(2, 2), strides=(2, 2))
+    )
+
+    x = mag
+    feats = (64, 128, 256, 512)
+    skips = []
+    for i, f in enumerate(feats):
+        x = dc_stage(f"down{i} DC({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}",
+                     x, f)
+        skips.append(x)
+        x = pool(x)
+    x = dc_stage(f"bottleneck DC(512->1024) @{x.shape[1]}x{x.shape[2]}", x, 1024)
+    for i, (f, skip) in enumerate(zip(reversed(feats), reversed(skips))):
+        x = deconv_stage(
+            f"up{i} deconv({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}", x, f
+        )
+        dy, dx_ = skip.shape[1] - x.shape[1], skip.shape[2] - x.shape[2]
+        x = jnp.pad(x, ((0, 0), (dy // 2, dy - dy // 2),
+                        (dx_ // 2, dx_ - dx_ // 2), (0, 0)))
+        x = jnp.concatenate([skip, x], axis=-1)
+        x = dc_stage(f"up{i} DC({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}",
+                     x, f)
+
+    total = sum(r[1] for r in rows)
+    total_fl = sum(r[2] for r in rows)
+    print(f"\n{'stage':<44} {'ms':>8} {'%':>6} {'GFLOP':>9} {'TFLOP/s':>9} {'%peak':>6}")
+    for name, dt, fl in rows:
+        print(f"{name:<44} {dt*1e3:8.2f} {100*dt/total:6.1f} {fl/1e9:9.1f} "
+              f"{fl/dt/1e12:9.1f} {100*fl/dt/1e12/197:6.1f}")
+    print(f"{'SUM (standalone stages)':<44} {total*1e3:8.2f} {'':>6} "
+          f"{total_fl/1e9:9.1f} {total_fl/total/1e12:9.1f} "
+          f"{100*total_fl/total/1e12/197:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
