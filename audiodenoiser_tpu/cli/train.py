@@ -186,6 +186,19 @@ def parse_args(argv=None):
         "easy direction. Recorded in the sidecar.",
     )
     ext.add_argument(
+        "--distill_from", type=str, default=None,
+        help="complex_mask family: path to a frozen teacher checkpoint "
+        "(mask_denoiser_*.ckpt; its .json sidecar rebuilds the teacher "
+        "architecture). Adds an L1 term matching the teacher's masked "
+        "spectrum — pair with --width_mult to distill the 31M universal "
+        "model into a compact low-latency student.",
+    )
+    ext.add_argument(
+        "--distill_weight", type=float, default=0.5,
+        help="weight of the teacher-matching distillation term "
+        "(with --distill_from).",
+    )
+    ext.add_argument(
         "--ckpt_every", type=int, default=1,
         help="write the orbax resume state every N epochs (always after "
         "the last). The full-state save can dominate short epochs on "
@@ -526,6 +539,9 @@ def main(argv=None):
     if args.model == "complex_mask" and args.pipeline != "on_device":
         raise SystemExit("--model complex_mask requires --pipeline on_device "
                          "(it trains on waveform pairs)")
+    if args.distill_from and args.model != "complex_mask":
+        raise SystemExit("--distill_from supports --model complex_mask only "
+                         "(the teacher term matches masked spectra)")
     if args.model == "router" and (
         args.pipeline != "on_device" or args.noise_type != "mixed"
     ):
@@ -710,6 +726,15 @@ def main(argv=None):
             width_kwargs = {"features": feats, "bottleneck": bottleneck}
             mask_meta["width_mult"] = args.width_mult
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+        teacher = None
+        if args.distill_from:
+            from audiodenoiser_tpu.eval.runner import load_model_from_path
+
+            t_model, t_vars = load_model_from_path(
+                args.distill_from, dtype=dtype, stem="mask_denoiser"
+            )
+            teacher = (t_model.apply, t_vars)
+            mask_meta["distilled_from"] = args.distill_from
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
@@ -723,7 +748,9 @@ def main(argv=None):
                 total_steps=cfg.total_steps,
                 grad_accum=args.grad_accum,
             ),
-            steps=make_mask_steps(si_w, si_sdr_clamp=si_clamp),
+            steps=make_mask_steps(si_w, si_sdr_clamp=si_clamp,
+                                  teacher=teacher,
+                                  distill_weight=args.distill_weight),
         )
     elif args.model == "unet" and args.width_mult != 1.0:
         # compact magnitude-family student: the loader needs the width to

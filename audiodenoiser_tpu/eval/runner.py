@@ -114,6 +114,19 @@ def load_model_for_noise(
             "params": payload["params"],
             "batch_stats": payload["batch_stats"],
         }
+    return load_model_from_path(path, dtype=dtype, model=model, stem=stem)
+
+
+def load_model_from_path(
+    path: str,
+    dtype=jnp.bfloat16,
+    model: UNet | None = None,
+    stem: str = "mask_denoiser",
+):
+    """Load a ``.ckpt`` export by direct path, rebuilding the architecture
+    from its ``.json`` sidecar (width_mult, mask head). Used by
+    ``load_model_for_noise`` and by ``cli.train --distill_from`` (the
+    distillation teacher is named by path, not by noise type)."""
     if not os.path.exists(path):
         raise FileNotFoundError(f"Model file not found: {path}")
     if model is None:
@@ -150,7 +163,7 @@ def load_model_for_noise(
     template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
     payload = load_exported(path, {"params": template["params"],
                                    "batch_stats": template["batch_stats"]})
-    print(f"Loaded model for noise type '{noise_type}' from: {path}")
+    print(f"Loaded model from: {path}")
     return model, {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
 

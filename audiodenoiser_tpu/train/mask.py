@@ -74,7 +74,8 @@ def create_mask_train_state(
 
 def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
                  train: bool, si_sdr_weight: float = 0.0,
-                 si_sdr_clamp: float | None = None):
+                 si_sdr_clamp: float | None = None,
+                 teacher=None, distill_weight: float = 0.0):
     # center=True everywhere: inference (models/complex_mask.denoise_waveform,
     # eval/runner complex_mask mode) uses center=True, so training must see
     # the same edge-frame statistics.
@@ -99,6 +100,19 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
     )
     wav_l1 = jnp.mean(jnp.abs(y_hat - clean_audio))
     total = losses.total + WAVEFORM_L1_WEIGHT * wav_l1
+    if teacher is not None and distill_weight:
+        # knowledge distillation for compact students: match the frozen
+        # teacher's masked spectrum on the same batch. The L1 runs on the
+        # complex masked spectra (real+imag), so disagreement is weighted
+        # by spectral energy — masks over near-silent bins don't dominate.
+        t_apply, t_vars = teacher
+        t_mask = jax.lax.stop_gradient(t_apply(t_vars, feats, train=False))
+        t_hat = apply_mask(t_mask, spec)
+        distill = jnp.mean(
+            jnp.abs(jnp.real(s_hat) - jnp.real(t_hat))
+            + jnp.abs(jnp.imag(s_hat) - jnp.imag(t_hat))
+        )
+        total = total + distill_weight * distill
     if si_sdr_weight:
         # maximize mean SI-SDR of the reconstruction (float32 accumulation:
         # the projection/ratio arithmetic is precision-sensitive)
@@ -120,7 +134,8 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
 
 
 def make_mask_steps(si_sdr_weight: float = 0.0,
-                    si_sdr_clamp: float | None = None):
+                    si_sdr_clamp: float | None = None,
+                    teacher=None, distill_weight: float = 0.0):
     """Build (train_step, eval_step) jitted closures for the mask family
     with the given -SI-SDR weight. Both steps report the SAME total the
     optimizer sees, so best-val checkpoint selection tracks the deployed
@@ -129,6 +144,12 @@ def make_mask_steps(si_sdr_weight: float = 0.0,
     si_sdr_clamp: saturate the per-example SI-SDR reward at this many dB
     (None = unclamped). Essential for corruptions that leave some training
     examples untouched (noise_cancellation) — see _mask_losses.
+
+    teacher: optional ``(apply_fn, variables)`` of a frozen mask model
+    whose masked spectrum the student matches (knowledge distillation,
+    ``cli.train --distill_from``); ``distill_weight`` scales the term.
+    The teacher term enters the val total too, keeping best-val selection
+    on the optimized objective.
     """
 
     @partial(jax.jit, donate_argnums=0)
@@ -137,6 +158,7 @@ def make_mask_steps(si_sdr_weight: float = 0.0,
             total, losses, new_bs = _mask_losses(
                 state, params, noisy_audio, clean_audio, train=True,
                 si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
+                teacher=teacher, distill_weight=distill_weight,
             )
             return total, (losses, new_bs)
 
@@ -160,6 +182,7 @@ def make_mask_steps(si_sdr_weight: float = 0.0,
         _, losses, _ = _mask_losses(
             state, state.params, noisy_audio, clean_audio, train=False,
             si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
+            teacher=teacher, distill_weight=distill_weight,
         )
         return losses
 

@@ -11,10 +11,16 @@ with a live stream). Two session families:
 - Low-latency (``LowLatencyStreamingDenoiser``): rolling full-context window,
   latency = hop + lookahead + xfade, at ``window/hop``x the compute.
 
-Weights do not affect timing, so the model is random-init by default; pass
-``--ckpt`` to time a real checkpoint (same graph, same numbers).
+Weights do not affect timing, so the model is random-init (same graph,
+same numbers as a trained checkpoint). ``--width_mult`` times a compact
+student (models.unet.scaled_widths) instead of the 31M reference width —
+in relay-bound environments the per-packet RTF barely moves, so the
+report also carries an ``on_chip_forward`` row (back-to-back
+block_until_ready timing of one full-context window forward), which is
+what bounds the low-latency engine's ``window/hop`` compute multiplier
+on real hardware.
 
-Usage: python examples/measure_latency.py [--out json_path]
+Usage: python examples/measure_latency.py [--out json_path] [--width_mult W]
 """
 
 from __future__ import annotations
@@ -55,10 +61,21 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="write results as JSON here")
     ap.add_argument("--sample_rate", type=int, default=8000)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument(
+        "--width_mult", type=float, default=1.0,
+        help="time a width-scaled compact student instead of the "
+        "reference 31M-param width",
+    )
     args = ap.parse_args(argv)
     sr = args.sample_rate
 
-    model = UNet()
+    width_kwargs = {}
+    if args.width_mult != 1.0:
+        from audiodenoiser_tpu.models.unet import scaled_widths
+
+        feats, bottleneck = scaled_widths(args.width_mult)
+        width_kwargs = {"features": feats, "bottleneck": bottleneck}
+    model = UNet(**width_kwargs)
     state = create_train_state(
         jax.random.key(0), model, input_shape=(1, 256, 64, 1)
     )
@@ -67,6 +84,29 @@ def main(argv=None):
     )
 
     rows = []
+
+    # on-chip bound: one full-context window forward, timed back-to-back
+    # (the relay round-trip amortizes away; this is what multiplies by
+    # window/hop in the low-latency engine's compute budget)
+    window = np.clip(
+        np.random.default_rng(0).standard_normal(16000) * 0.2, -1, 1
+    ).astype(np.float32)
+    for _ in range(3):
+        out = runner.denoise_audio(window)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = runner.denoise_audio(window)
+    jax.block_until_ready(out)
+    fwd_ms = 1000.0 * (time.perf_counter() - t0) / args.iters
+    rows.append({
+        "family": "on_chip_forward",
+        "config": f"window=16000,width_mult={args.width_mult}",
+        "context_samples": 16000, "latency_ms": None,
+        "packet_ms": None, "step_ms": fwd_ms,
+        "rtf": (16000 / sr) / (fwd_ms / 1000.0),
+    })
+    print(rows[-1], flush=True)
     for chunk in (16000, 8000, 4000, 2048):
         sd = StreamingDenoiser(runner, chunk_samples=chunk, sample_rate=sr)
         dt, rtf = time_session(sd.session, sd.hop, sr, args.iters)

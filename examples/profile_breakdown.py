@@ -89,7 +89,10 @@ def main(argv=None):
     rows.append(("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins))
 
     # --- U-Net levels at the fused graph's shapes, bf16 like the bench ---
-    mag = jnp.abs(spec)[..., None].astype(jnp.bfloat16)  # (B, 257, 126, 1)
+    # every inter-stage glue op is jitted: eager dispatch on the axon
+    # backend is a remote compile round-trip per primitive (and can fail
+    # outright for ops the eager helper does not cover)
+    mag = jax.jit(lambda s: jnp.abs(s)[..., None].astype(jnp.bfloat16))(spec)
 
     def dc_stage(name, x, feats):
         mod = DoubleConv(feats, dtype=jnp.bfloat16)
@@ -133,9 +136,19 @@ def main(argv=None):
             f"up{i} deconv({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}", x, f
         )
         dy, dx_ = skip.shape[1] - x.shape[1], skip.shape[2] - x.shape[2]
-        x = jnp.pad(x, ((0, 0), (dy // 2, dy - dy // 2),
-                        (dx_ // 2, dx_ - dx_ // 2), (0, 0)))
-        x = jnp.concatenate([skip, x], axis=-1)
+        x = jax.jit(
+            lambda a, b: jnp.concatenate(
+                [
+                    a,
+                    jnp.pad(
+                        b,
+                        ((0, 0), (dy // 2, dy - dy // 2),
+                         (dx_ // 2, dx_ - dx_ // 2), (0, 0)),
+                    ),
+                ],
+                axis=-1,
+            )
+        )(skip, x)
         x = dc_stage(f"up{i} DC({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}",
                      x, f)
 
