@@ -19,14 +19,14 @@ import time
 
 def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase",
-              pipelined: bool = True) -> dict:
+              pipelined: bool = True, width_mult: float = 1.0) -> dict:
     """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
     smaller-HBM devices/backends the default must degrade instead of
     crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
     while True:
         try:
             return _run_bench_once(batch_size, clip_seconds, iters, warmup,
-                                   mode, pipelined)
+                                   mode, pipelined, width_mult)
         except Exception as e:
             oom = "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
             if not oom or batch_size <= 32:
@@ -36,7 +36,8 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
 
 
 def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
-                    warmup: int, mode: str, pipelined: bool) -> dict:
+                    warmup: int, mode: str, pipelined: bool,
+                    width_mult: float = 1.0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,13 +48,19 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     sr, hop, n_fft = 8000, 128, 512
     n_samples = int(sr * clip_seconds)
     run_mode = mode
+    width_kwargs = {}
+    if width_mult != 1.0:
+        from audiodenoiser_tpu.models.unet import scaled_widths
+
+        feats, bottleneck = scaled_widths(width_mult)
+        width_kwargs = {"features": feats, "bottleneck": bottleneck}
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
-        model = ComplexMaskUNet(dtype=jnp.bfloat16)
+        model = ComplexMaskUNet(dtype=jnp.bfloat16, **width_kwargs)
         in_ch = 3
     else:
-        model = UNet(dtype=jnp.bfloat16)
+        model = UNet(dtype=jnp.bfloat16, **width_kwargs)
         in_ch = 1
     from audiodenoiser_tpu.train.loop import init_variables
 
@@ -270,13 +277,17 @@ def main(argv=None):
     p.add_argument("--train_batch_size", type=int, default=256)
     p.add_argument("--no_stream", action="store_true",
                    help="skip the streaming realtime-factor measurement")
+    p.add_argument("--width_mult", type=float, default=1.0,
+                   help="benchmark a width-scaled compact student instead "
+                   "of the reference 31M-param architecture")
     args = p.parse_args(argv)
     _require_device()
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     result = run_bench(args.batch_size, args.clip_seconds, args.iters,
-                       mode=args.mode, pipelined=not args.latency)
+                       mode=args.mode, pipelined=not args.latency,
+                       width_mult=args.width_mult)
     if not args.no_train:
         # fold the training numbers into the same single JSON line the
         # driver records (metric/value/unit/vs_baseline stay the headline)

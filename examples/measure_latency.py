@@ -91,13 +91,18 @@ def main(argv=None):
     window = np.clip(
         np.random.default_rng(0).standard_normal(16000) * 0.2, -1, 1
     ).astype(np.float32)
+    # host scalar fetch as the completion barrier: block_until_ready can
+    # return early on the axon relay (see eval/bench.py sync())
+    probe = jax.jit(lambda a: a.ravel()[0])
+    key = jax.random.key(0)
     for _ in range(3):
-        out = runner.denoise_audio(window)
-    jax.block_until_ready(out)
+        out = runner.denoise_audio(window[None], key)
+    float(probe(out))
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = runner.denoise_audio(window)
-    jax.block_until_ready(out)
+    outs = [
+        runner.denoise_audio(window[None], key) for _ in range(args.iters)
+    ]
+    float(probe(outs[-1]))  # in-order stream: last done => all done
     fwd_ms = 1000.0 * (time.perf_counter() - t0) / args.iters
     rows.append({
         "family": "on_chip_forward",

@@ -13,7 +13,11 @@ Per-stage numbers are upper bounds on fused cost (a standalone jit pays HBM
 round trips for activations that XLA may keep fused in the full graph), so
 read them as a *relative* decomposition.
 
-Usage: python examples/profile_breakdown.py [--batch_size 1024] [--iters 10]
+Note: standalone stages hold their full input AND output activations in
+HBM (the fused graph shares/fuses those buffers), so the decomposition
+OOMs at the bench's batch 1024 on a 16G chip — run at 512 or below.
+
+Usage: python examples/profile_breakdown.py [--batch_size 512] [--iters 10]
 """
 
 from __future__ import annotations
@@ -30,15 +34,32 @@ from audiodenoiser_tpu.models.unet import DoubleConv
 from flax import linen as nn
 
 
+# completion barrier: a host scalar fetch through a separate cached
+# program. jax.block_until_ready can return early on the axon relay
+# (see eval/bench.py sync()) — measured here as stages "running" at
+# 50+ PFLOP/s, i.e. not waiting at all. The probe is a SEPARATE
+# dispatch, so XLA cannot dead-code-eliminate the timed computation.
+_probe = jax.jit(lambda a: jnp.real(a).ravel()[0])
+
+
+def _barrier(out):
+    return float(_probe(jax.tree_util.tree_leaves(out)[0]))
+
+
 def timed(fn, *args, iters=10, warmup=2):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)
     t0 = time.perf_counter()
+    # pipelined (no host sync inside the loop), but keep only the LAST
+    # output reference: at batch 512 a single stage output is ~2 GB, so
+    # retaining all iters of them OOMs the 16G chip. Device streams
+    # execute in order, so the last output completing means every queued
+    # iteration completed (same pattern as eval/bench.py pipelined mode).
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _barrier(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -48,7 +69,7 @@ def conv_flops(b, h, w, cin, cout, k=3):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--clip_seconds", type=float, default=2.0)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
@@ -71,6 +92,10 @@ def main(argv=None):
 
     rows = []
 
+    def record(name, dt, fl):
+        rows.append((name, dt, fl))
+        print(f"  measured {name}: {dt*1e3:.2f} ms", flush=True)
+
     # --- DSP front/back ends (pallas path, as the TPU bench runs them) ---
     prec = "pallas" if jax.default_backend() in ("tpu", "axon") else "fft"
     stft_fn = jax.jit(
@@ -79,14 +104,14 @@ def main(argv=None):
     spec = stft_fn(audio)
     dt = timed(stft_fn, audio, iters=args.iters)
     # real-DFT as matmul: 2 bases x (2 * frames * n_fft * f_bins)
-    rows.append(("stft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins))
+    record("stft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins)
 
     istft_fn = jax.jit(
         lambda s: stft_lib.istft(s, hop, n_fft=n_fft, center=True, length=n,
                                  precision=prec)
     )
     dt = timed(istft_fn, spec, iters=args.iters)
-    rows.append(("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins))
+    record("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins)
 
     # --- U-Net levels at the fused graph's shapes, bf16 like the bench ---
     # every inter-stage glue op is jitted: eager dispatch on the axon
@@ -102,7 +127,7 @@ def main(argv=None):
         dt = timed(fn, variables, x, iters=args.iters)
         h, w, cin = x.shape[1], x.shape[2], x.shape[3]
         fl = conv_flops(b, h, w, cin, feats) + conv_flops(b, h, w, feats, feats)
-        rows.append((name, dt, fl))
+        record(name, dt, fl)
         return out
 
     def deconv_stage(name, x, feats):
@@ -115,7 +140,7 @@ def main(argv=None):
         dt = timed(fn, variables, x, iters=args.iters)
         h, w, cin = x.shape[1], x.shape[2], x.shape[3]
         fl = 2 * b * h * w * cin * feats * 4
-        rows.append((name, dt, fl))
+        record(name, dt, fl)
         return out
 
     pool = jax.jit(
@@ -131,7 +156,9 @@ def main(argv=None):
         skips.append(x)
         x = pool(x)
     x = dc_stage(f"bottleneck DC(512->1024) @{x.shape[1]}x{x.shape[2]}", x, 1024)
-    for i, (f, skip) in enumerate(zip(reversed(feats), reversed(skips))):
+    for i, f in enumerate(reversed(feats)):
+        skip = skips.pop()  # release each skip after its concat (down0's
+        # skip alone is ~2 GB at batch 512; retaining all four OOMs)
         x = deconv_stage(
             f"up{i} deconv({x.shape[3]}->{f}) @{x.shape[1]}x{x.shape[2]}", x, f
         )
