@@ -74,6 +74,15 @@ def parse_args(argv=None):
         "Routed (mode=auto) streams keep WOLA.",
     )
     p.add_argument(
+        "--stream_pool", type=int, default=None,
+        help="serve /stream sessions from a shared MultiStreamWola pool of "
+        "this capacity: all live streams advance in ONE device dispatch "
+        "per hop period instead of one dispatch per stream (per-chip "
+        "stream capacity scales with the chip's batched-throughput "
+        "headroom). WOLA sessions only (not --stream_latency_ms or "
+        "mode=auto routed streams).",
+    )
+    p.add_argument(
         "--bypass_db", type=float, default=None,
         help="identity-bypass gate: clips whose relative model-change "
         "energy is below -bypass_db are returned verbatim (bit-exact "
@@ -183,12 +192,33 @@ def main(argv=None):
         )
     routed_mixture = mixture if args.auto_route else None
 
+    pooled = None
+    if args.stream_pool:
+        if args.stream_latency_ms is not None:
+            raise SystemExit(
+                "--stream_pool supports WOLA sessions only (drop "
+                "--stream_latency_ms)"
+            )
+        from audiodenoiser_tpu.eval.streaming import (
+            MultiStreamWola,
+            PooledStreamSessions,
+        )
+
+        pooled = PooledStreamSessions(
+            MultiStreamWola(
+                runner, capacity=args.stream_pool, chunk_samples=chunk,
+                sample_rate=args.sample_rate, mode=stream_mode,
+            )
+        )
+
     def stream_factory(mode):
         if routed_mixture is not None and mode in (None, "auto"):
             return RoutedStreamingSession(
                 routed_mixture, chunk_samples=chunk,
                 sample_rate=args.sample_rate, precision=path,
             )
+        if pooled is not None:
+            return pooled.session()  # IndexError when full -> 503 upstream
         return streamer.session()
 
     server = make_http_server(

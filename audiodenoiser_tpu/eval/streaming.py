@@ -508,3 +508,277 @@ class RoutedStreamingSession:
         if self._inner is None:
             return np.zeros(0, np.float32)
         return self._inner.flush()
+
+
+class MultiStreamWola:
+    """Fixed-capacity pool of concurrent WOLA streams, ONE dispatch per tick.
+
+    ``StreamingSession`` costs one device dispatch per stream per packet;
+    N concurrent real-time streams pay N relay round-trips per hop even
+    though the model forward is far from saturating the chip at batch 1
+    (measured: a batch-1 2 s-window forward is launch-bound at ~4.6 ms for
+    BOTH the 31M model and the 0.25x student — docs/LATENCY.md). This pool
+    holds the WOLA state of up to ``capacity`` streams as batched device
+    arrays ``(capacity, hop)`` and advances EVERY live stream in a single
+    compiled scan per tick, converting the chip's batched-throughput
+    headroom into per-chip stream capacity.
+
+    Streams may progress unevenly: each tick advances ``k`` hop-steps where
+    ``k`` is the largest per-slot backlog, and a per-slot ``valid`` count
+    masks state updates and emissions for slots with fewer staged hops —
+    per-stream semantics are exactly those of a dedicated
+    ``StreamingSession`` (same window math, same silent lead-in drop).
+    The compiled step is shape-specialized on ``k``; ticks decompose into
+    power-of-two buckets like the single-stream path, so the resident
+    program count stays at log2(k_max).
+
+    API: ``slot = pool.open()`` -> ``pool.process({slot: samples, ...})``
+    -> ``{slot: finalized_samples}`` -> ``pool.close(slot)``. The reference
+    has no streaming at all (SURVEY.md §5 long-context: ABSENT).
+    """
+
+    def __init__(
+        self,
+        runner: DenoiserRunner,
+        capacity: int = 8,
+        chunk_samples: int = 16000,
+        sample_rate: int = 8000,
+        mode: str = "noisy_phase",
+    ):
+        if chunk_samples % 2:
+            raise ValueError("chunk_samples must be even (50% overlap)")
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.runner = runner
+        self.capacity = capacity
+        self.chunk = chunk_samples
+        self.hop = chunk_samples // 2
+        self.sample_rate = sample_rate
+        self.mode = mode
+        self.xfade = jnp.asarray(hann_window(chunk_samples))
+        self._state = (
+            jnp.zeros((capacity, self.hop), jnp.float32),  # prev hop
+            jnp.zeros((capacity, self.hop), jnp.float32),  # OLA carry
+        )
+        self._staging = [np.zeros(0, np.float32) for _ in range(capacity)]
+        self._drop = [0] * capacity
+        self._free = list(range(capacity))[::-1]
+        self._active: set[int] = set()
+
+    @property
+    def latency_samples(self) -> int:
+        return self.chunk
+
+    def open(self) -> int:
+        """Claim a slot for a new stream (raises IndexError when full)."""
+        if not self._free:
+            raise IndexError(f"pool full (capacity {self.capacity})")
+        slot = self._free.pop()
+        self._active.add(slot)
+        self._staging[slot] = np.zeros(0, np.float32)
+        self._drop[slot] = self.hop  # silent lead-in, as StreamingSession
+        self._state = self._reset_slot(self._state, jnp.int32(slot))
+        return slot
+
+    def close(self, slot: int) -> None:
+        self._active.discard(slot)
+        if slot not in self._free:
+            self._free.append(slot)
+
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _reset_slot(self, state, i):
+        prev, carry = state
+        z = jnp.zeros((1, self.hop), jnp.float32)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(prev, z, i, 0),
+            jax.lax.dynamic_update_slice_in_dim(carry, z, i, 0),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _advance(self, state, hops, valid):
+        """One compiled multi-hop advance of the whole pool.
+
+        hops: (k, capacity, hop) staged input, zero-padded past each
+        slot's backlog; valid: (capacity,) int32 per-slot hop counts.
+        Steps j >= valid[i] leave slot i's state untouched and emit zeros.
+        """
+        k = hops.shape[0]
+
+        def body(carry, inp):
+            prev, ola = carry
+            new_hop, j = inp
+            win = jnp.concatenate([prev, new_hop], axis=1)  # (C, chunk)
+            den = self.runner.denoise_audio(
+                win, jax.random.key(0), mode=self.mode
+            ) * self.xfade[None, :]
+            live = (j < valid)[:, None]
+            out = jnp.where(live, ola + den[:, : self.hop], 0.0)
+            return (
+                jnp.where(live, new_hop, prev),
+                jnp.where(live, den[:, self.hop:], ola),
+            ), out
+
+        state, outs = jax.lax.scan(body, state, (hops, jnp.arange(k)))
+        return state, outs  # (k, capacity, hop)
+
+    def stage(self, slot: int, samples: np.ndarray) -> None:
+        """Buffer samples for a slot without advancing (host-only, fast)."""
+        if slot not in self._active:
+            raise KeyError(f"slot {slot} is not open")
+        self._staging[slot] = np.concatenate(
+            [self._staging[slot], np.asarray(samples, np.float32).ravel()]
+        )
+
+    def _consume(self) -> dict[int, np.ndarray]:
+        """Pop every fully-staged hop per slot (host-only, fast).
+
+        Split from :meth:`_run` so a thread-safe wrapper can hold its
+        staging lock only here, letting other threads stage while the
+        device advance of a previous batch is still in flight — that is
+        what coalesces concurrent sessions into one dispatch."""
+        taken = {}
+        for s in self._active:
+            k = len(self._staging[s]) // self.hop
+            if k:
+                taken[s] = self._staging[s][: k * self.hop].reshape(
+                    k, self.hop
+                )
+                self._staging[s] = self._staging[s][k * self.hop:]
+        return taken
+
+    def _run(self, taken: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+        """Advance the pool over consumed hops (device dispatches)."""
+        counts = {s: h.shape[0] for s, h in taken.items()}
+        offset = {s: 0 for s in taken}
+        emitted: dict[int, list[np.ndarray]] = {}
+        k_total = max(counts.values(), default=0)
+        while k_total:
+            b = 1 << (k_total.bit_length() - 1)  # power-of-two buckets
+            hops = np.zeros((b, self.capacity, self.hop), np.float32)
+            valid = np.zeros(self.capacity, np.int32)
+            for s, h in taken.items():
+                v = min(b, counts[s])
+                if v:
+                    hops[:v, s] = h[offset[s]: offset[s] + v]
+                    valid[s] = v
+                    offset[s] += v
+                    counts[s] -= v
+            self._state, outs = self._advance(
+                self._state, jnp.asarray(hops), jnp.asarray(valid)
+            )
+            outs = np.asarray(outs)
+            for s in taken:
+                if valid[s]:
+                    out = outs[: valid[s], s].reshape(-1)
+                    if self._drop[s]:
+                        d = min(self._drop[s], len(out))
+                        out = out[d:]
+                        self._drop[s] -= d
+                    if len(out):
+                        emitted.setdefault(s, []).append(out)
+            k_total = max(counts.values(), default=0)
+        return {
+            s: np.concatenate(chunks) for s, chunks in emitted.items()
+        }
+
+    def process(self, packets: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+        """Stage per-slot samples; advance all live streams together.
+
+        Returns finalized audio per slot (empty arrays for slots whose
+        backlog is still under one hop)."""
+        for slot, samples in packets.items():
+            self.stage(slot, samples)
+        out = self._run(self._consume())
+        for s in packets:
+            out.setdefault(s, np.zeros(0, np.float32))
+        return out
+
+    def flush(self, slot: int) -> np.ndarray:
+        """Pad one stream with silence to emit its buffered tail."""
+        out = self.process({slot: np.zeros(self.chunk, np.float32)})
+        return out.get(slot, np.zeros(0, np.float32))
+
+
+class PooledStreamSessions:
+    """Thread-safe session adapter over a shared :class:`MultiStreamWola`.
+
+    Serving integration: HTTP stream handlers run on worker threads, one
+    ``process()`` per packet per session. This wrapper coalesces them —
+    stage is guarded by a fast staging lock; the device advance runs
+    under a separate advance lock with staging RELEASED, so packets from
+    other sessions arriving mid-advance are consumed by the next advance
+    in the same single dispatch. Under N concurrent real-time streams the
+    steady state is one pool dispatch per hop period serving all N (vs N
+    dispatches for independent sessions).
+
+    ``session()`` returns an object with the same ``process(samples) ->
+    np.ndarray`` / ``flush()`` / ``latency_samples`` surface as
+    :class:`StreamingSession`, so it drops into ``serve.make_http_server``'s
+    ``stream_factory`` unchanged.
+    """
+
+    def __init__(self, pool: MultiStreamWola):
+        import threading
+
+        self.pool = pool
+        self._stage_lock = threading.Lock()
+        self._advance_lock = threading.Lock()
+        self._out: dict[int, list[np.ndarray]] = {}
+
+    def session(self) -> "PooledSession":
+        with self._stage_lock:
+            slot = self.pool.open()
+            self._out[slot] = []
+        return PooledSession(self, slot)
+
+    def _take(self, slot: int) -> np.ndarray:
+        chunks = self._out.get(slot) or []
+        self._out[slot] = []
+        return (
+            np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        )
+
+
+class PooledSession:
+    """One stream's view of a :class:`PooledStreamSessions` pool."""
+
+    def __init__(self, parent: PooledStreamSessions, slot: int):
+        self.parent = parent
+        self.slot = slot
+        self._closed = False
+
+    @property
+    def latency_samples(self) -> int:
+        return self.parent.pool.latency_samples
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        p = self.parent
+        if self._closed:
+            raise RuntimeError("session closed")
+        with p._stage_lock:
+            p.pool.stage(self.slot, samples)
+        with p._advance_lock:
+            with p._stage_lock:
+                # a concurrent advance may have already emitted my hops
+                ready = p._take(self.slot)
+                batch = p.pool._consume()
+            if batch:
+                outs = p.pool._run(batch)  # device work: staging unlocked
+                with p._stage_lock:
+                    for s, o in outs.items():
+                        p._out.setdefault(s, []).append(o)
+                    mine = p._take(self.slot)
+                return np.concatenate([ready, mine])
+            return ready
+
+    def flush(self) -> np.ndarray:
+        out = self.process(np.zeros(self.parent.pool.chunk, np.float32))
+        self.close()
+        return out
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            with self.parent._stage_lock:
+                self.parent.pool.close(self.slot)
+                self.parent._out.pop(self.slot, None)

@@ -387,7 +387,13 @@ def make_http_server(
             for sid in [
                 k for k, v in sessions.items() if now - v["t"] > stream_ttl
             ]:
-                del sessions[sid]
+                sess = sessions.pop(sid)["s"]
+                # pooled sessions hold a pool slot that must be released
+                # on eviction, not just on flush (else idle streams leak
+                # capacity until the server restarts)
+                close = getattr(sess, "close", None)
+                if callable(close):
+                    close()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -448,7 +454,15 @@ def make_http_server(
                         raise ServiceOverloaded(
                             f"stream session limit reached ({live} live)"
                         )
-                    sess = stream_factory(mode)
+                    try:
+                        sess = stream_factory(mode)
+                    except IndexError as e:
+                        # a pooled factory signals slot exhaustion this way
+                        # (PooledStreamSessions over a full MultiStreamWola)
+                        if hasattr(service, "_metrics_lock"):
+                            with service._metrics_lock:
+                                service.overloaded_total += 1
+                        raise ServiceOverloaded(str(e))
                     sessions[sid] = {
                         "s": sess,
                         "lock": threading.Lock(),

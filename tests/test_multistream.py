@@ -1,0 +1,168 @@
+"""MultiStreamWola: N concurrent streams advanced in one dispatch.
+
+Per-stream semantics must match a dedicated StreamingSession exactly —
+same window math, same silent lead-in — with uneven per-slot progress
+handled by masking, and slot lifecycle (open/close/reuse) isolated.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from audiodenoiser_tpu.eval.runner import DenoiserRunner
+from audiodenoiser_tpu.eval.streaming import MultiStreamWola, StreamingDenoiser
+from audiodenoiser_tpu.models import UNet
+from audiodenoiser_tpu.train import create_train_state
+
+CHUNK = 2048
+HOP = CHUNK // 2
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    model = UNet(features=(4, 8), bottleneck=16)
+    state = create_train_state(
+        jax.random.key(0), model, input_shape=(1, 32, 32, 1)
+    )
+    return DenoiserRunner(
+        model, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+
+
+def _single_reference(runner, signal, packet):
+    sess = StreamingDenoiser(runner, chunk_samples=CHUNK).session()
+    outs = [
+        sess.process(signal[i: i + packet])
+        for i in range(0, len(signal), packet)
+    ]
+    return np.concatenate(outs)
+
+
+def _signals(n, length, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        np.clip(rng.standard_normal(length) * 0.2, -1, 1).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+class TestParityWithSingleSessions:
+    def test_two_streams_match_dedicated_sessions(self, tiny_runner):
+        sigs = _signals(2, 4 * CHUNK)
+        pool = MultiStreamWola(tiny_runner, capacity=3, chunk_samples=CHUNK)
+        slots = [pool.open(), pool.open()]
+        got = {s: [] for s in slots}
+        for i in range(0, len(sigs[0]), HOP):
+            out = pool.process(
+                {s: sig[i: i + HOP] for s, sig in zip(slots, sigs)}
+            )
+            for s in slots:
+                got[s].append(out[s])
+        for s, sig in zip(slots, sigs):
+            ref = _single_reference(tiny_runner, sig, HOP)
+            np.testing.assert_allclose(
+                np.concatenate(got[s]), ref, rtol=0, atol=1e-5
+            )
+
+    def test_uneven_packet_rates_masked_progress(self, tiny_runner):
+        """Slot A feeds 2 hops per call, slot B feeds 1: B's state must
+        advance only by its own staged hops."""
+        sigs = _signals(2, 4 * CHUNK, seed=1)
+        pool = MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        a, b = pool.open(), pool.open()
+        got_a, got_b = [], []
+        ia = ib = 0
+        while ia < len(sigs[0]):
+            out = pool.process(
+                {a: sigs[0][ia: ia + 2 * HOP], b: sigs[1][ib: ib + HOP]}
+            )
+            got_a.append(out[a])
+            got_b.append(out[b])
+            ia += 2 * HOP
+            ib += HOP
+        # drain B's remaining half
+        while ib < len(sigs[1]):
+            out = pool.process({b: sigs[1][ib: ib + HOP]})
+            got_b.append(out[b])
+            ib += HOP
+        np.testing.assert_allclose(
+            np.concatenate(got_a),
+            _single_reference(tiny_runner, sigs[0], 2 * HOP),
+            rtol=0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.concatenate(got_b),
+            _single_reference(tiny_runner, sigs[1], HOP),
+            rtol=0, atol=1e-5,
+        )
+
+    def test_mid_stream_join_is_isolated(self, tiny_runner):
+        """A stream opened after the pool has been running gets a fresh
+        lead-in and matches a dedicated session bit-for-bit."""
+        sigs = _signals(2, 2 * CHUNK, seed=2)
+        pool = MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        a = pool.open()
+        pool.process({a: sigs[0][:CHUNK]})
+        b = pool.open()
+        got_b = [
+            pool.process({b: sigs[1][i: i + HOP]})[b]
+            for i in range(0, len(sigs[1]), HOP)
+        ]
+        np.testing.assert_allclose(
+            np.concatenate(got_b),
+            _single_reference(tiny_runner, sigs[1], HOP),
+            rtol=0, atol=1e-5,
+        )
+
+    def test_slot_reuse_after_close_resets_state(self, tiny_runner):
+        sig = _signals(1, 2 * CHUNK, seed=3)[0]
+        pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)
+        a = pool.open()
+        pool.process({a: sig})
+        pool.close(a)
+        b = pool.open()
+        assert b == a  # capacity-1 pool reuses the slot
+        got = [
+            pool.process({b: sig[i: i + HOP]})[b]
+            for i in range(0, len(sig), HOP)
+        ]
+        np.testing.assert_allclose(
+            np.concatenate(got),
+            _single_reference(tiny_runner, sig, HOP),
+            rtol=0, atol=1e-5,
+        )
+
+
+class TestLifecycle:
+    def test_capacity_enforced(self, tiny_runner):
+        pool = MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        pool.open(), pool.open()
+        with pytest.raises(IndexError):
+            pool.open()
+
+    def test_process_rejects_unopened_slot(self, tiny_runner):
+        pool = MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        with pytest.raises(KeyError):
+            pool.process({0: np.zeros(HOP, np.float32)})
+
+    def test_double_close_is_idempotent(self, tiny_runner):
+        pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)
+        a = pool.open()
+        pool.close(a)
+        pool.close(a)
+        assert pool.open() == a
+
+    def test_flush_emits_tail(self, tiny_runner):
+        sig = _signals(1, CHUNK + HOP // 2, seed=4)[0]
+        pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)
+        a = pool.open()
+        first = pool.process({a: sig})[a]
+        tail = pool.flush(a)
+        sess = StreamingDenoiser(
+            tiny_runner, chunk_samples=CHUNK
+        ).session()
+        ref = np.concatenate([sess.process(sig), sess.flush()])
+        got = np.concatenate([first, tail])
+        np.testing.assert_allclose(
+            got, ref[: len(got)], rtol=0, atol=1e-5
+        )

@@ -680,3 +680,86 @@ def test_stream_cap_rejections_count_as_overloads(rng):
         assert "adt_overloaded_total 1" in metrics
     finally:
         server.shutdown()
+
+
+class TestPooledStreamingHTTP:
+    """--stream_pool: sessions share a MultiStreamWola, one dispatch/tick."""
+
+    @pytest.fixture(scope="class")
+    def pool_url(self):
+        from audiodenoiser_tpu.eval.streaming import (
+            MultiStreamWola,
+            PooledStreamSessions,
+        )
+
+        class _Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        runner = DenoiserRunner(_Identity(), {})
+        service = DenoiseService(runner, bucket_samples=8000)
+        pooled = PooledStreamSessions(
+            MultiStreamWola(runner, capacity=2, chunk_samples=2048)
+        )
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: pooled.session(),
+            stream_ttl=600.0,
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        server.shutdown()
+
+    def _post(self, url, data=b""):
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    def test_two_pooled_sessions_reconstruct_identity(self, pool_url, rng):
+        """Two concurrent pooled streams through HTTP: identity network +
+        COLA crossfade reconstruct each input exactly, no cross-talk."""
+        sigs = [
+            np.clip(rng.standard_normal(3 * 2048) * 0.3, -1, 1).astype(
+                np.float32
+            )
+            for _ in range(2)
+        ]
+        sids = [
+            json.loads(self._post(f"{pool_url}/stream/start"))["session"]
+            for _ in range(2)
+        ]
+        outs = [[], []]
+        for i in range(0, 3 * 2048, 1024):
+            for j, (sid, sig) in enumerate(zip(sids, sigs)):
+                got = self._post(
+                    f"{pool_url}/stream/{sid}",
+                    sig[i: i + 1024].astype("<f4").tobytes(),
+                )
+                outs[j].append(np.frombuffer(got, "<f4"))
+        for j, sid in enumerate(sids):
+            outs[j].append(
+                np.frombuffer(
+                    self._post(f"{pool_url}/stream/{sid}/flush"), "<f4"
+                )
+            )
+        for j, sig in enumerate(sigs):
+            out = np.concatenate(outs[j])
+            np.testing.assert_allclose(
+                out[: len(sig)], sig, rtol=0, atol=1e-5
+            )
+
+    def test_pool_exhaustion_returns_503_and_slot_recycles(self, pool_url):
+        sids = [
+            json.loads(self._post(f"{pool_url}/stream/start"))["session"]
+            for _ in range(2)
+        ]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(f"{pool_url}/stream/start")
+        assert e.value.code == 503
+        # flushing one session frees its slot for a new stream
+        self._post(f"{pool_url}/stream/{sids[0]}/flush")
+        sid = json.loads(self._post(f"{pool_url}/stream/start"))["session"]
+        self._post(f"{pool_url}/stream/{sid}/flush")
+        self._post(f"{pool_url}/stream/{sids[1]}/flush")
