@@ -252,6 +252,54 @@ def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
     }
 
 
+def run_multistream_bench(streams: int = 8, chunk: int = 16000,
+                          ticks: int = 10, sample_rate: int = 8000) -> dict:
+    """Pooled stream capacity: N lockstep real-time streams advanced in
+    one dispatch per tick (eval.streaming.MultiStreamWola, the
+    `cli.serve --stream_pool` engine). Aggregate RTF = total seconds of
+    audio denoised per wall second across all streams; /N > 1 means the
+    chip keeps up with N live streams (measured 5.05x over independent
+    sessions at N=8 — docs/LATENCY.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiodenoiser_tpu.eval.runner import DenoiserRunner
+    from audiodenoiser_tpu.eval.streaming import MultiStreamWola
+    from audiodenoiser_tpu.models import UNet
+    from audiodenoiser_tpu.train.loop import create_train_state
+
+    model = UNet(dtype=jnp.bfloat16)
+    state = create_train_state(jax.random.key(0), model,
+                               input_shape=(1, 256, 64, 1))
+    runner = DenoiserRunner(
+        model, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    pool = MultiStreamWola(runner, capacity=streams, chunk_samples=chunk,
+                           sample_rate=sample_rate)
+    slots = [pool.open() for _ in range(streams)]
+    rng = np.random.default_rng(0)
+    feed = {
+        s: np.clip(0.2 * rng.standard_normal(pool.hop), -1, 1).astype(
+            np.float32
+        )
+        for s in slots
+    }
+    for _ in range(3):
+        pool.process(feed)  # prime + compile
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        pool.process(feed)
+    dt = (time.perf_counter() - t0) / ticks
+    return {
+        "stream_pool_streams": streams,
+        "stream_pool_aggregate_rtf": round(
+            streams * pool.hop / sample_rate / dt, 1
+        ),
+        "stream_pool_tick_ms": round(1000 * dt, 1),
+    }
+
+
 def _require_device(timeout_s: float = 180.0) -> None:
     """Fail fast if the JAX backend cannot initialize (shared guard)."""
     from audiodenoiser_tpu.utils.backend import require_device
@@ -277,6 +325,11 @@ def main(argv=None):
     p.add_argument("--train_batch_size", type=int, default=256)
     p.add_argument("--no_stream", action="store_true",
                    help="skip the streaming realtime-factor measurement")
+    p.add_argument("--no_pool", action="store_true",
+                   help="skip the pooled multi-stream capacity measurement")
+    p.add_argument("--no_student", action="store_true",
+                   help="skip the compact-student (width 0.25) throughput "
+                   "measurement")
     p.add_argument("--width_mult", type=float, default=1.0,
                    help="benchmark a width-scaled compact student instead "
                    "of the reference 31M-param architecture")
@@ -294,6 +347,15 @@ def main(argv=None):
         result.update(run_train_bench(args.train_batch_size))
     if not args.no_stream:
         result.update(run_stream_bench())
+    if not args.no_pool:
+        result.update(run_multistream_bench())
+    if not args.no_student and args.width_mult == 1.0:
+        # compact-student serving throughput beside the flagship number
+        student = run_bench(args.batch_size, args.clip_seconds,
+                            max(5, args.iters // 2), mode=args.mode,
+                            pipelined=not args.latency, width_mult=0.25)
+        result["student_width_mult"] = 0.25
+        result["student_frames_per_sec"] = student["value"]
     print(json.dumps(result))
 
 

@@ -726,7 +726,11 @@ class PooledStreamSessions:
         self._out: dict[int, list[np.ndarray]] = {}
 
     def session(self) -> "PooledSession":
-        with self._stage_lock:
+        # advance lock too: open() resets the slot's state row with a
+        # donating jit — racing that against an in-flight _run (which
+        # re-reads pool._state between buckets) could hand the advance a
+        # donated buffer
+        with self._advance_lock, self._stage_lock:
             slot = self.pool.open()
             self._out[slot] = []
         return PooledSession(self, slot)
