@@ -79,8 +79,11 @@ def parse_args(argv=None):
         "this capacity: all live streams advance in ONE device dispatch "
         "per hop period instead of one dispatch per stream (per-chip "
         "stream capacity scales with the chip's batched-throughput "
-        "headroom). WOLA sessions only (not --stream_latency_ms or "
-        "mode=auto routed streams).",
+        "headroom). Size it to the expected concurrency: every tick "
+        "computes the FULL capacity-sized batch, so a much-oversized "
+        "pool wastes compute when only a few streams are live. WOLA "
+        "sessions only (not --stream_latency_ms or mode=auto routed "
+        "streams).",
     )
     p.add_argument(
         "--bypass_db", type=float, default=None,
@@ -94,6 +97,16 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # flag validation BEFORE the backend/model load so misconfiguration
+    # fails in milliseconds, not after a 20 s device init
+    if args.stream_pool is not None:
+        if args.stream_pool < 1:
+            raise SystemExit("--stream_pool must be >= 1")
+        if args.stream_latency_ms is not None:
+            raise SystemExit(
+                "--stream_pool supports WOLA sessions only (drop "
+                "--stream_latency_ms)"
+            )
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -193,12 +206,7 @@ def main(argv=None):
     routed_mixture = mixture if args.auto_route else None
 
     pooled = None
-    if args.stream_pool:
-        if args.stream_latency_ms is not None:
-            raise SystemExit(
-                "--stream_pool supports WOLA sessions only (drop "
-                "--stream_latency_ms)"
-            )
+    if args.stream_pool is not None:
         from audiodenoiser_tpu.eval.streaming import (
             MultiStreamWola,
             PooledStreamSessions,

@@ -291,13 +291,11 @@ def _train_pp(args, cfg, train_batches, val_batches):
     first = next(it0)
     f_dim, t_dim, c_dim = np.asarray(first[0]).shape[1:]
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-    width_kwargs = {}
-    if cfg.width_mult != 1.0:
-        from audiodenoiser_tpu.models.unet import scaled_widths
+    from audiodenoiser_tpu.models.unet import width_kwargs
 
-        feats, bottleneck = scaled_widths(cfg.width_mult)
-        width_kwargs = {"features": feats, "bottleneck": bottleneck}
-    model = loop_mod.UNet(dtype=dtype, remat=False, **width_kwargs)
+    model = loop_mod.UNet(
+        dtype=dtype, remat=False, **width_kwargs(cfg.width_mult)
+    )
     variables = model.init(
         jax.random.key(cfg.seed), jnp.zeros((1, f_dim, t_dim, c_dim))
     )
@@ -424,6 +422,16 @@ def _train_pp(args, cfg, train_batches, val_batches):
             export_model(best_path, full["params"], full["batch_stats"])
             exported_best = True
             ckpt_lib.record_best_val(best_path, best_val, epoch)
+            if cfg.width_mult != 1.0:
+                # sidecar beside the run-dir checkpoint too: without it a
+                # width-scaled best_model.ckpt loaded directly (not via
+                # --export_dir) rebuilds at reference width and fails
+                import json as _json
+
+                with open(
+                    os.path.splitext(best_path)[0] + ".json", "w"
+                ) as f:
+                    _json.dump({"width_mult": cfg.width_mult}, f)
             logger.info(
                 f"New best model saved to {best_path} (Val Loss: {best_val:.6f})"
             )
@@ -452,13 +460,20 @@ def _train_pp(args, cfg, train_batches, val_batches):
         )
         if os.path.exists(best_path):
             shutil.copyfile(best_path, dst)
-            if cfg.width_mult != 1.0 and exported_best:
-                # compact-student sidecar: the loader rebuilds the scaled
-                # architecture from it (same flow as the mask head)
-                import json as _json
-
-                with open(os.path.splitext(dst)[0] + ".json", "w") as f:
-                    _json.dump({"width_mult": cfg.width_mult}, f)
+            # compact-student sidecar: copy the run-dir sidecar (the truth
+            # about the weights being shipped — a resumed run that never
+            # beat the restored best still ships an older checkpoint whose
+            # sidecar was written when IT exported)
+            run_sidecar = os.path.splitext(best_path)[0] + ".json"
+            if os.path.exists(run_sidecar):
+                shutil.copyfile(
+                    run_sidecar, os.path.splitext(dst)[0] + ".json"
+                )
+            elif cfg.width_mult != 1.0:
+                print(
+                    "WARNING: shipping a checkpoint with no recorded width "
+                    "sidecar; loaders will rebuild it at reference width."
+                )
             print(f"Exported best model to {dst}")
     return {
         "best_val": best_val,
@@ -718,12 +733,9 @@ def main(argv=None):
         residual = args.mask_residual == "on"
         mask_meta = {"mask_bound": bound, "si_sdr_weight": si_w,
                      "si_sdr_clamp": si_clamp, "residual": residual}
-        width_kwargs = {}
-        if args.width_mult != 1.0:
-            from audiodenoiser_tpu.models.unet import scaled_widths
+        from audiodenoiser_tpu.models.unet import width_kwargs
 
-            feats, bottleneck = scaled_widths(args.width_mult)
-            width_kwargs = {"features": feats, "bottleneck": bottleneck}
+        if args.width_mult != 1.0:
             mask_meta["width_mult"] = args.width_mult
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         teacher = None
@@ -741,7 +753,7 @@ def main(argv=None):
                 ComplexMaskUNet(dtype=dtype, mask_bound=bound,
                                 residual=residual,
                                 zero_out_init=residual,
-                                **width_kwargs),
+                                **width_kwargs(args.width_mult)),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
                 warmup_steps=args.warmup_steps,
@@ -770,6 +782,15 @@ def main(argv=None):
         # resumed run with changed mask flags that never beat the restored
         # best must not re-stamp the old weights with new hyperparameters.
         with open(run_meta, "w") as f:
+            json.dump(mask_meta, f)
+    if mask_meta is not None and result.get("exported_best_ema"):
+        # the EMA export is a separate checkpoint with the same head
+        # hyperparameters — without its own sidecar a width-scaled or
+        # custom-bound best_model_ema.ckpt cannot be rebuilt by loaders
+        ema_meta = (
+            os.path.splitext(result["best_ema_path"])[0] + ".json"
+        )
+        with open(ema_meta, "w") as f:
             json.dump(mask_meta, f)
 
     if args.export_dir and args.noise_type:

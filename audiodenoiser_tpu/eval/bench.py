@@ -48,19 +48,16 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     sr, hop, n_fft = 8000, 128, 512
     n_samples = int(sr * clip_seconds)
     run_mode = mode
-    width_kwargs = {}
-    if width_mult != 1.0:
-        from audiodenoiser_tpu.models.unet import scaled_widths
+    from audiodenoiser_tpu.models.unet import width_kwargs
 
-        feats, bottleneck = scaled_widths(width_mult)
-        width_kwargs = {"features": feats, "bottleneck": bottleneck}
+    wkw = width_kwargs(width_mult)
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
-        model = ComplexMaskUNet(dtype=jnp.bfloat16, **width_kwargs)
+        model = ComplexMaskUNet(dtype=jnp.bfloat16, **wkw)
         in_ch = 3
     else:
-        model = UNet(dtype=jnp.bfloat16, **width_kwargs)
+        model = UNet(dtype=jnp.bfloat16, **wkw)
         in_ch = 1
     from audiodenoiser_tpu.train.loop import init_variables
 
@@ -253,7 +250,8 @@ def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
 
 
 def run_multistream_bench(streams: int = 8, chunk: int = 16000,
-                          ticks: int = 10, sample_rate: int = 8000) -> dict:
+                          ticks: int = 10, sample_rate: int = 8000,
+                          width_mult: float = 1.0) -> dict:
     """Pooled stream capacity: N lockstep real-time streams advanced in
     one dispatch per tick (eval.streaming.MultiStreamWola, the
     `cli.serve --stream_pool` engine). Aggregate RTF = total seconds of
@@ -267,9 +265,10 @@ def run_multistream_bench(streams: int = 8, chunk: int = 16000,
     from audiodenoiser_tpu.eval.runner import DenoiserRunner
     from audiodenoiser_tpu.eval.streaming import MultiStreamWola
     from audiodenoiser_tpu.models import UNet
+    from audiodenoiser_tpu.models.unet import width_kwargs
     from audiodenoiser_tpu.train.loop import create_train_state
 
-    model = UNet(dtype=jnp.bfloat16)
+    model = UNet(dtype=jnp.bfloat16, **width_kwargs(width_mult))
     state = create_train_state(jax.random.key(0), model,
                                input_shape=(1, 256, 64, 1))
     runner = DenoiserRunner(
@@ -348,7 +347,7 @@ def main(argv=None):
     if not args.no_stream:
         result.update(run_stream_bench())
     if not args.no_pool:
-        result.update(run_multistream_bench())
+        result.update(run_multistream_bench(width_mult=args.width_mult))
     if not args.no_student and args.width_mult == 1.0:
         # compact-student serving throughput beside the flagship number
         student = run_bench(args.batch_size, args.clip_seconds,

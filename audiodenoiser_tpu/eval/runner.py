@@ -141,13 +141,9 @@ def load_model_from_path(
 
             with open(sidecar) as f:
                 meta = json.load(f)
-        kwargs = {}
-        if float(meta.get("width_mult", 1.0)) != 1.0:
-            from audiodenoiser_tpu.models.unet import scaled_widths
+        from audiodenoiser_tpu.models.unet import width_kwargs
 
-            feats, bottleneck = scaled_widths(float(meta["width_mult"]))
-            kwargs["features"] = feats
-            kwargs["bottleneck"] = bottleneck
+        kwargs = width_kwargs(float(meta.get("width_mult", 1.0)))
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 

@@ -535,6 +535,12 @@ class MultiStreamWola:
     API: ``slot = pool.open()`` -> ``pool.process({slot: samples, ...})``
     -> ``{slot: finalized_samples}`` -> ``pool.close(slot)``. The reference
     has no streaming at all (SURVEY.md §5 long-context: ABSENT).
+
+    Size ``capacity`` to the expected concurrency: every advance computes
+    the full ``(capacity, chunk)`` batch regardless of how many slots are
+    live (masking discards dead rows' outputs, not their compute), so a
+    64-slot pool serving one stream pays ~64x a dedicated session's FLOPs
+    per hop.
     """
 
     def __init__(

@@ -156,6 +156,18 @@ def scaled_widths(width_mult: float = 1.0) -> tuple[tuple[int, ...], int]:
     return tuple(_scale(c) for c in (64, 128, 256, 512)), _scale(1024)
 
 
+def width_kwargs(width_mult: float) -> dict:
+    """UNet constructor kwargs for a width multiplier ({} at 1.0).
+
+    The single place the width contract lives — every constructor site
+    (train loop, CLIs, loaders, bench, examples) routes through this.
+    """
+    if width_mult == 1.0:
+        return {}
+    feats, bottleneck = scaled_widths(width_mult)
+    return {"features": feats, "bottleneck": bottleneck}
+
+
 def count_params(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 

@@ -384,14 +384,23 @@ def make_http_server(
     def _evict_idle():
         now = time.monotonic()
         with s_lock:
-            for sid in [
-                k for k, v in sessions.items() if now - v["t"] > stream_ttl
-            ]:
-                sess = sessions.pop(sid)["s"]
-                # pooled sessions hold a pool slot that must be released
-                # on eviction, not just on flush (else idle streams leak
-                # capacity until the server restarts)
-                close = getattr(sess, "close", None)
+            expired = [
+                sessions.pop(k)
+                for k in [
+                    k
+                    for k, v in sessions.items()
+                    if now - v["t"] > stream_ttl
+                ]
+            ]
+        for entry in expired:
+            # pooled sessions hold a pool slot that must be released on
+            # eviction, not just on flush (else idle streams leak capacity
+            # until the server restarts). Close UNDER the per-session lock:
+            # a handler mid-process on this session must finish before its
+            # slot is freed, else its samples could stage into a slot
+            # already recycled to another client.
+            with entry["lock"]:
+                close = getattr(entry["s"], "close", None)
                 if callable(close):
                     close()
 
@@ -440,34 +449,47 @@ def make_http_server(
                 _evict_idle()
                 mode = parse_qs(parsed.query).get("mode", [None])[0]
                 sid = uuid.uuid4().hex[:16]
-                # check + insert in ONE critical section: a check-then-act
-                # across lock releases would let concurrent starts exceed
-                # the cap (admission control for streams, symmetric with
+                # cap enforced at insert time under s_lock below: the map
+                # never exceeds max_stream_sessions even with concurrent
+                # starts (admission control for streams, symmetric with
                 # the batch path's bounded queue — each live session holds
                 # device-resident WOLA state)
+                # construct OUTSIDE s_lock: a pooled factory's session()
+                # can block on the pool's advance lock for a full device
+                # advance (or a first-hop XLA compile) — holding s_lock
+                # through that would stall every other stream endpoint
+                # and /metrics. The cap check re-runs under s_lock after;
+                # a start that then loses the admission race closes the
+                # session it built (releasing any pool slot).
+                try:
+                    sess = stream_factory(mode)
+                except IndexError as e:
+                    # a pooled factory signals slot exhaustion this way
+                    # (PooledStreamSessions over a full MultiStreamWola)
+                    if hasattr(service, "_metrics_lock"):
+                        with service._metrics_lock:
+                            service.overloaded_total += 1
+                    raise ServiceOverloaded(str(e))
+                admitted = False
                 with s_lock:
                     live = len(sessions)
-                    if live >= max_stream_sessions:
-                        if hasattr(service, "_metrics_lock"):
-                            with service._metrics_lock:
-                                service.overloaded_total += 1
-                        raise ServiceOverloaded(
-                            f"stream session limit reached ({live} live)"
-                        )
-                    try:
-                        sess = stream_factory(mode)
-                    except IndexError as e:
-                        # a pooled factory signals slot exhaustion this way
-                        # (PooledStreamSessions over a full MultiStreamWola)
-                        if hasattr(service, "_metrics_lock"):
-                            with service._metrics_lock:
-                                service.overloaded_total += 1
-                        raise ServiceOverloaded(str(e))
-                    sessions[sid] = {
-                        "s": sess,
-                        "lock": threading.Lock(),
-                        "t": time.monotonic(),
-                    }
+                    if live < max_stream_sessions:
+                        admitted = True
+                        sessions[sid] = {
+                            "s": sess,
+                            "lock": threading.Lock(),
+                            "t": time.monotonic(),
+                        }
+                if not admitted:
+                    close = getattr(sess, "close", None)
+                    if callable(close):
+                        close()
+                    if hasattr(service, "_metrics_lock"):
+                        with service._metrics_lock:
+                            service.overloaded_total += 1
+                    raise ServiceOverloaded(
+                        f"stream session limit reached ({live} live)"
+                    )
                 info = {
                     "session": sid,
                     "latency_samples": int(
@@ -494,6 +516,15 @@ def make_http_server(
             length = int(self.headers.get("Content-Length", "0"))
             data = self.rfile.read(length)
             with entry["lock"]:
+                # the TTL evictor closes sessions under this same lock: a
+                # packet that lost the race must see "expired", not a 500
+                # (and must NOT touch a pool slot that may be recycled)
+                if getattr(entry["s"], "_closed", False):
+                    self._send(
+                        404, b'{"error": "unknown or expired session"}',
+                        "application/json",
+                    )
+                    return
                 entry["t"] = time.monotonic()
                 if flushing:
                     out = entry["s"].flush()

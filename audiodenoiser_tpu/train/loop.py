@@ -272,16 +272,12 @@ def fit(
     if state_factory is not None:
         state = state_factory()
     else:
-        width_kwargs = {}
-        if config.width_mult != 1.0:
-            from audiodenoiser_tpu.models.unet import scaled_widths
+        from audiodenoiser_tpu.models.unet import width_kwargs
 
-            feats, bottleneck = scaled_widths(config.width_mult)
-            width_kwargs = {"features": feats, "bottleneck": bottleneck}
         model = UNet(
             dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
             remat=config.remat,
-            **width_kwargs,
+            **width_kwargs(config.width_mult),
         )
         state = create_train_state(
             jax.random.key(config.seed),
@@ -356,6 +352,7 @@ def fit(
     logger.info("--- Starting Training Loop ---")
     history = []
     exported_best = False
+    exported_best_ema = False
     global_step = resumed_step  # TB step series stays monotonic on resume
     for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
@@ -446,6 +443,7 @@ def fit(
                 jax.device_get(state.batch_stats),
             )
             ckpt_lib.record_best_val(best_ema_path, best_ema_val, epoch)
+            exported_best_ema = True
             logger.info(
                 f"New best EMA model saved to {best_ema_path} "
                 f"(EMA Val Loss: {best_ema_val:.6f})"
@@ -482,4 +480,5 @@ def fit(
     if config.ema_decay:
         result["best_ema_val"] = best_ema_val
         result["best_ema_path"] = best_ema_path
+        result["exported_best_ema"] = exported_best_ema
     return result

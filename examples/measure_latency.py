@@ -69,13 +69,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     sr = args.sample_rate
 
-    width_kwargs = {}
-    if args.width_mult != 1.0:
-        from audiodenoiser_tpu.models.unet import scaled_widths
+    from audiodenoiser_tpu.models.unet import width_kwargs
 
-        feats, bottleneck = scaled_widths(args.width_mult)
-        width_kwargs = {"features": feats, "bottleneck": bottleneck}
-    model = UNet(**width_kwargs)
+    model = UNet(**width_kwargs(args.width_mult))
     state = create_train_state(
         jax.random.key(0), model, input_shape=(1, 256, 64, 1)
     )

@@ -763,3 +763,70 @@ class TestPooledStreamingHTTP:
         sid = json.loads(self._post(f"{pool_url}/stream/start"))["session"]
         self._post(f"{pool_url}/stream/{sid}/flush")
         self._post(f"{pool_url}/stream/{sids[1]}/flush")
+
+
+class TestPooledServeCLIArgs:
+    def test_stream_pool_zero_rejected_before_device_init(self):
+        from audiodenoiser_tpu.cli.serve import main
+
+        with pytest.raises(SystemExit):
+            main(["--stream_pool", "0"])
+
+    def test_stream_pool_with_latency_budget_rejected(self):
+        from audiodenoiser_tpu.cli.serve import main
+
+        with pytest.raises(SystemExit):
+            main(["--stream_pool", "4", "--stream_latency_ms", "224"])
+
+
+class TestPooledEviction:
+    """TTL eviction must release the pool slot and turn late packets into
+    404s, never stage them into a recycled slot."""
+
+    def test_evicted_pooled_session_404_and_slot_recycles(self):
+        from audiodenoiser_tpu.eval.streaming import (
+            MultiStreamWola,
+            PooledStreamSessions,
+        )
+
+        class _Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        runner = DenoiserRunner(_Identity(), {})
+        service = DenoiseService(runner, bucket_samples=8000)
+        pooled = PooledStreamSessions(
+            MultiStreamWola(runner, capacity=1, chunk_samples=2048)
+        )
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: pooled.session(),
+            stream_ttl=0.3,
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+
+        def post(url, data=b""):
+            req = urllib.request.Request(url, data=data, method="POST")
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        try:
+            sid = json.loads(post(f"{base}/stream/start"))["session"]
+            time.sleep(0.5)  # exceed the ttl
+            # a new start triggers eviction of the idle session AND takes
+            # over the capacity-1 pool's only slot
+            sid2 = json.loads(post(f"{base}/stream/start"))["session"]
+            # a late packet for the evicted session must 404, not stage
+            # into sid2's recycled slot
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post(
+                    f"{base}/stream/{sid}",
+                    np.zeros(1024, "<f4").tobytes(),
+                )
+            assert e.value.code == 404
+            post(f"{base}/stream/{sid2}/flush")
+        finally:
+            server.shutdown()
