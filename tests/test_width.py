@@ -149,3 +149,45 @@ class TestTrainCLI:
         assert tuple(model.features) == (8, 16, 32, 64)
         out = model.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
         assert out.shape == (1, 64, 64, 1)
+
+
+class TestEmaSidecar:
+    def test_ema_export_gets_width_sidecar(self, tmp_path):
+        """--ema_decay exports best_model_ema.ckpt; a width-scaled run must
+        stamp its sidecar too or the EMA student can't be loaded."""
+        from audiodenoiser_tpu.cli.train import main
+        from audiodenoiser_tpu.data.wav_io import write_wav
+        from audiodenoiser_tpu.eval.runner import load_model_from_path
+
+        rng = np.random.default_rng(0)
+        clean_dir = tmp_path / "clean"
+        clean_dir.mkdir()
+        write_wav(
+            str(clean_dir / "a.wav"),
+            np.clip(rng.standard_normal(40000) * 0.2, -1, 1),
+            8000,
+        )
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--pipeline", "on_device",
+                "--model", "unet",
+                "--noise_type", "white",
+                "--width_mult", "0.125",
+                "--ema_decay", "0.9",
+                "--epochs", "1",
+                "--batch_size", "2",
+                "--steps_per_epoch", "2",
+                "--precision", "f32",
+                "--run_name", "emarun",
+                "--output_path", str(tmp_path / "runs"),
+            ]
+        )
+        ema_path = out["best_ema_path"]
+        assert os.path.exists(ema_path)
+        with open(os.path.splitext(ema_path)[0] + ".json") as f:
+            assert json.load(f)["width_mult"] == 0.125
+        model, variables = load_model_from_path(
+            ema_path, dtype=jnp.float32, stem="unet_denoiser"
+        )
+        assert tuple(model.features) == (8, 16, 32, 64)
