@@ -74,14 +74,16 @@ def parse_args(argv=None):
         "Routed (mode=auto) streams keep WOLA.",
     )
     p.add_argument(
-        "--stream_pool", type=int, default=None,
+        "--stream_pool", type=str, default=None, metavar="N|auto",
         help="serve /stream sessions from a shared MultiStreamWola pool of "
         "this capacity: all live streams advance in ONE device dispatch "
         "per hop period instead of one dispatch per stream (per-chip "
         "stream capacity scales with the chip's batched-throughput "
         "headroom). Size it to the expected concurrency: every tick "
         "computes the FULL capacity-sized batch, so a much-oversized "
-        "pool wastes compute when only a few streams are live. WOLA "
+        "pool wastes compute when only a few streams are live. 'auto' "
+        "sizes the pool to the device HBM budget from XLA's compiled "
+        "memory analysis (eval.streaming.auto_pool_capacity). WOLA "
         "sessions only (not --stream_latency_ms or mode=auto routed "
         "streams).",
     )
@@ -100,8 +102,13 @@ def main(argv=None):
     # flag validation BEFORE the backend/model load so misconfiguration
     # fails in milliseconds, not after a 20 s device init
     if args.stream_pool is not None:
-        if args.stream_pool < 1:
-            raise SystemExit("--stream_pool must be >= 1")
+        if args.stream_pool != "auto":
+            try:
+                args.stream_pool = int(args.stream_pool)
+            except ValueError:
+                raise SystemExit("--stream_pool must be an integer or 'auto'")
+            if args.stream_pool < 1:
+                raise SystemExit("--stream_pool must be >= 1")
         if args.stream_latency_ms is not None:
             raise SystemExit(
                 "--stream_pool supports WOLA sessions only (drop "
@@ -210,11 +217,18 @@ def main(argv=None):
         from audiodenoiser_tpu.eval.streaming import (
             MultiStreamWola,
             PooledStreamSessions,
+            auto_pool_capacity,
         )
 
+        capacity = args.stream_pool
+        if capacity == "auto":
+            capacity = auto_pool_capacity(
+                runner, chunk_samples=chunk, mode=stream_mode
+            )
+            print(f"--stream_pool auto: sized pool to {capacity} streams")
         pooled = PooledStreamSessions(
             MultiStreamWola(
-                runner, capacity=args.stream_pool, chunk_samples=chunk,
+                runner, capacity=capacity, chunk_samples=chunk,
                 sample_rate=args.sample_rate, mode=stream_mode,
             )
         )

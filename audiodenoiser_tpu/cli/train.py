@@ -199,6 +199,14 @@ def parse_args(argv=None):
         "(with --distill_from).",
     )
     ext.add_argument(
+        "--distill_features", type=float, default=0.0,
+        help="weight of the feature-level distillation term (attention "
+        "transfer): the student matches the teacher's normalized spatial "
+        "attention map at the U-Net bottleneck. Channel-count-independent, "
+        "so it works across --width_mult with no projection head and adds "
+        "zero parameters. 0 disables (with --distill_from).",
+    )
+    ext.add_argument(
         "--ckpt_every", type=int, default=1,
         help="write the orbax resume state every N epochs (always after "
         "the last). The full-state save can dominate short epochs on "
@@ -557,6 +565,9 @@ def main(argv=None):
     if args.distill_from and args.model != "complex_mask":
         raise SystemExit("--distill_from supports --model complex_mask only "
                          "(the teacher term matches masked spectra)")
+    if args.distill_features and not args.distill_from:
+        raise SystemExit("--distill_features requires --distill_from "
+                         "(there is no teacher to match without it)")
     if args.model == "router" and (
         args.pipeline != "on_device" or args.noise_type != "mixed"
     ):
@@ -747,6 +758,8 @@ def main(argv=None):
             )
             teacher = (t_model.apply, t_vars)
             mask_meta["distilled_from"] = args.distill_from
+            if args.distill_features:
+                mask_meta["distill_features"] = args.distill_features
         fit_kwargs = dict(
             state_factory=lambda: create_mask_train_state(
                 jax.random.key(args.seed),
@@ -762,7 +775,8 @@ def main(argv=None):
             ),
             steps=make_mask_steps(si_w, si_sdr_clamp=si_clamp,
                                   teacher=teacher,
-                                  distill_weight=args.distill_weight),
+                                  distill_weight=args.distill_weight,
+                                  distill_feat_weight=args.distill_features),
         )
     elif args.model == "unet" and args.width_mult != 1.0:
         # compact magnitude-family student: the loader needs the width to

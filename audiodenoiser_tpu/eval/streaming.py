@@ -705,6 +705,90 @@ class MultiStreamWola:
         return out.get(slot, np.zeros(0, np.float32))
 
 
+def auto_pool_capacity(
+    runner: DenoiserRunner,
+    chunk_samples: int = 16000,
+    *,
+    hbm_bytes: int | None = None,
+    safety: float = 0.7,
+    max_capacity: int = 256,
+    probe_capacities: tuple[int, int] = (2, 8),
+    mode: str = "noisy_phase",
+) -> int:
+    """Size a :class:`MultiStreamWola` pool to the device memory budget.
+
+    The pool's per-tick program is the runner's fused denoise graph at
+    batch = capacity; its memory requirement is affine in capacity
+    (weights + code are the intercept, per-stream activations the slope).
+    XLA's compiled-program ``memory_analysis()`` at two small probe
+    capacities yields both coefficients without allocating anything
+    pool-sized, and ``capacity = (safety * budget - intercept) / slope``
+    sizes the pool. Probing costs two small-batch compiles at startup;
+    both shapes are cached by the persistent compile cache.
+
+    Budget resolution: explicit ``hbm_bytes`` > the device's
+    ``memory_stats()['bytes_limit']`` (absent on the axon TPU relay,
+    which reports ``{}``) > 15.75 GiB for TPU platforms (the v5e
+    per-chip HBM actually addressable, measured round 2: batch 1280
+    OOMs a 16 GiB chip) > 4 GiB for CPU/other backends.
+
+    Falls back to 8 (the conservative default) if the backend cannot
+    produce a usable memory analysis.
+    """
+    if safety <= 0 or safety > 1:
+        raise ValueError("safety must be in (0, 1]")
+    dev = runner_device(runner)
+    if hbm_bytes is None:
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        hbm_bytes = stats.get("bytes_limit")
+    if hbm_bytes is None:
+        hbm_bytes = int(15.75 * 2**30) if dev.platform == "tpu" else 4 * 2**30
+    key = jax.random.key(0)
+
+    def probe(capacity: int) -> int | None:
+        fn = jax.jit(
+            lambda w: runner.denoise_audio(w, key, mode=mode)
+        )
+        shape = jax.ShapeDtypeStruct(
+            (capacity, chunk_samples), jnp.float32
+        )
+        try:
+            ma = fn.lower(shape).compile().memory_analysis()
+            return int(
+                ma.temp_size_in_bytes
+                + ma.argument_size_in_bytes
+                + ma.output_size_in_bytes
+            )
+        except Exception:
+            return None
+
+    c0, c1 = probe_capacities
+    s0, s1 = probe(c0), probe(c1)
+    if s0 is None or s1 is None or s1 <= s0:
+        return min(8, max_capacity)
+    slope = (s1 - s0) / (c1 - c0)
+    intercept = s0 - slope * c0
+    capacity = int((safety * hbm_bytes - intercept) / slope)
+    return max(1, min(capacity, max_capacity))
+
+
+def runner_device(runner: DenoiserRunner):
+    """The device the runner's parameters live on (default device if unsharded)."""
+    leaves = jax.tree_util.tree_leaves(runner.variables)
+    for leaf in leaves:
+        devs = getattr(leaf, "devices", None)
+        if callable(devs):
+            try:
+                return sorted(devs(), key=lambda d: d.id)[0]
+            except Exception:
+                continue
+    return jax.devices()[0]
+
+
 class PooledStreamSessions:
     """Thread-safe session adapter over a shared :class:`MultiStreamWola`.
 

@@ -72,10 +72,34 @@ def create_mask_train_state(
     )
 
 
+FEATURE_TAPS = ("bottleneck",)
+
+
+def _attention_map(x: jax.Array) -> jax.Array:
+    """Channel-count-independent spatial attention map of a feature tensor.
+
+    Mean channel energy, L2-normalized over the spatial plane (attention
+    transfer, Zagoruyko & Komodakis 2017). Width-scaled students and the
+    full-width teacher share spatial dims at every U-Net depth, so their
+    maps compare directly with no projection head — the distillation adds
+    ZERO parameters to the student checkpoint.
+    """
+    a = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1)  # (B, H, W)
+    n = jnp.sqrt(jnp.sum(jnp.square(a), axis=(-2, -1), keepdims=True))
+    return a / (n + 1e-8)
+
+
+def _tap_filter(mdl, method_name: str) -> bool:
+    return method_name == "__call__" and getattr(mdl, "name", None) in (
+        FEATURE_TAPS
+    )
+
+
 def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
                  train: bool, si_sdr_weight: float = 0.0,
                  si_sdr_clamp: float | None = None,
-                 teacher=None, distill_weight: float = 0.0):
+                 teacher=None, distill_weight: float = 0.0,
+                 distill_feat_weight: float = 0.0):
     # center=True everywhere: inference (models/complex_mask.denoise_waveform,
     # eval/runner complex_mask mode) uses center=True, so training must see
     # the same edge-frame statistics.
@@ -83,14 +107,24 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
     clean_mag = jnp.abs(stft_lib.stft(clean_audio, N_FFT, HOP, center=True))
     feats = spectrogram_features(spec)
     variables = {"params": params, "batch_stats": state.batch_stats}
-    if train:
+    capture = teacher is not None and distill_feat_weight > 0
+    mutable = (["batch_stats"] if train else []) + (
+        ["intermediates"] if capture else []
+    )
+    if mutable:
         mask, mutated = state.apply_fn(
-            variables, feats, train=True, mutable=["batch_stats"]
+            variables, feats, train=train, mutable=mutable,
+            **({"capture_intermediates": _tap_filter} if capture else {}),
         )
-        new_bs = mutated["batch_stats"]
+        new_bs = mutated["batch_stats"] if train else state.batch_stats
+        s_feats = (
+            jax.tree_util.tree_leaves(mutated["intermediates"])
+            if capture else []
+        )
     else:
         mask = state.apply_fn(variables, feats, train=False)
         new_bs = state.batch_stats
+        s_feats = []
     s_hat = apply_mask(mask, spec)
     losses = combined_perceptual_loss(
         jnp.abs(s_hat)[..., None], clean_mag[..., None]
@@ -100,19 +134,45 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
     )
     wav_l1 = jnp.mean(jnp.abs(y_hat - clean_audio))
     total = losses.total + WAVEFORM_L1_WEIGHT * wav_l1
-    if teacher is not None and distill_weight:
+    if teacher is not None and (distill_weight or distill_feat_weight):
         # knowledge distillation for compact students: match the frozen
         # teacher's masked spectrum on the same batch. The L1 runs on the
         # complex masked spectra (real+imag), so disagreement is weighted
         # by spectral energy — masks over near-silent bins don't dominate.
         t_apply, t_vars = teacher
-        t_mask = jax.lax.stop_gradient(t_apply(t_vars, feats, train=False))
-        t_hat = apply_mask(t_mask, spec)
-        distill = jnp.mean(
-            jnp.abs(jnp.real(s_hat) - jnp.real(t_hat))
-            + jnp.abs(jnp.imag(s_hat) - jnp.imag(t_hat))
-        )
-        total = total + distill_weight * distill
+        if capture:
+            t_mask, t_mut = t_apply(
+                t_vars, feats, train=False, mutable=["intermediates"],
+                capture_intermediates=_tap_filter,
+            )
+            t_feats = jax.tree_util.tree_leaves(t_mut["intermediates"])
+        else:
+            t_mask = t_apply(t_vars, feats, train=False)
+            t_feats = []
+        t_mask = jax.lax.stop_gradient(t_mask)
+        if distill_weight:
+            t_hat = apply_mask(t_mask, spec)
+            distill = jnp.mean(
+                jnp.abs(jnp.real(s_hat) - jnp.real(t_hat))
+                + jnp.abs(jnp.imag(s_hat) - jnp.imag(t_hat))
+            )
+            total = total + distill_weight * distill
+        if distill_feat_weight:
+            # feature-level distillation (attention transfer): match the
+            # teacher's normalized spatial attention at FEATURE_TAPS.
+            # ||a_s - a_t||^2 per example is in [0, 4] — commensurate
+            # with the spectral terms without extra scaling.
+            feat = sum(
+                jnp.mean(jnp.sum(
+                    jnp.square(
+                        _attention_map(s)
+                        - jax.lax.stop_gradient(_attention_map(t))
+                    ),
+                    axis=(-2, -1),
+                ))
+                for s, t in zip(s_feats, t_feats)
+            ) / max(len(s_feats), 1)
+            total = total + distill_feat_weight * feat
     if si_sdr_weight:
         # maximize mean SI-SDR of the reconstruction (float32 accumulation:
         # the projection/ratio arithmetic is precision-sensitive)
@@ -135,7 +195,8 @@ def _mask_losses(state: TrainState, params, noisy_audio, clean_audio,
 
 def make_mask_steps(si_sdr_weight: float = 0.0,
                     si_sdr_clamp: float | None = None,
-                    teacher=None, distill_weight: float = 0.0):
+                    teacher=None, distill_weight: float = 0.0,
+                    distill_feat_weight: float = 0.0):
     """Build (train_step, eval_step) jitted closures for the mask family
     with the given -SI-SDR weight. Both steps report the SAME total the
     optimizer sees, so best-val checkpoint selection tracks the deployed
@@ -159,6 +220,7 @@ def make_mask_steps(si_sdr_weight: float = 0.0,
                 state, params, noisy_audio, clean_audio, train=True,
                 si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
                 teacher=teacher, distill_weight=distill_weight,
+                distill_feat_weight=distill_feat_weight,
             )
             return total, (losses, new_bs)
 
@@ -183,6 +245,7 @@ def make_mask_steps(si_sdr_weight: float = 0.0,
             state, state.params, noisy_audio, clean_audio, train=False,
             si_sdr_weight=si_sdr_weight, si_sdr_clamp=si_sdr_clamp,
             teacher=teacher, distill_weight=distill_weight,
+            distill_feat_weight=distill_feat_weight,
         )
         return losses
 

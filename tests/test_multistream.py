@@ -166,3 +166,60 @@ class TestLifecycle:
         np.testing.assert_allclose(
             got, ref[: len(got)], rtol=0, atol=1e-5
         )
+
+
+class TestAutoPoolCapacity:
+    """auto_pool_capacity sizes the pool from XLA's memory analysis."""
+
+    def test_capacity_scales_with_budget(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import auto_pool_capacity
+
+        small = auto_pool_capacity(
+            tiny_runner, chunk_samples=CHUNK, hbm_bytes=1 << 20
+        )
+        big = auto_pool_capacity(
+            tiny_runner, chunk_samples=CHUNK, hbm_bytes=1 << 28
+        )
+        assert isinstance(small, int) and isinstance(big, int)
+        assert 1 <= small <= big <= 256
+
+    def test_max_capacity_clamps(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import auto_pool_capacity
+
+        got = auto_pool_capacity(
+            tiny_runner,
+            chunk_samples=CHUNK,
+            hbm_bytes=1 << 40,
+            max_capacity=16,
+        )
+        assert got == 16
+
+    def test_tiny_budget_floors_at_one(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import auto_pool_capacity
+
+        assert (
+            auto_pool_capacity(tiny_runner, chunk_samples=CHUNK, hbm_bytes=1)
+            == 1
+        )
+
+    def test_bad_safety_rejected(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import auto_pool_capacity
+
+        with pytest.raises(ValueError):
+            auto_pool_capacity(
+                tiny_runner, chunk_samples=CHUNK, safety=0.0
+            )
+
+    def test_sized_pool_is_usable(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import auto_pool_capacity
+
+        cap = auto_pool_capacity(
+            tiny_runner,
+            chunk_samples=CHUNK,
+            hbm_bytes=1 << 26,
+            max_capacity=4,
+        )
+        pool = MultiStreamWola(tiny_runner, capacity=cap, chunk_samples=CHUNK)
+        slot = pool.open()
+        out = pool.process({slot: _signals(1, CHUNK, seed=9)[0]})
+        assert out[slot].shape[0] > 0

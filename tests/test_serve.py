@@ -778,6 +778,27 @@ class TestPooledServeCLIArgs:
         with pytest.raises(SystemExit):
             main(["--stream_pool", "4", "--stream_latency_ms", "224"])
 
+    def test_stream_pool_garbage_rejected_before_device_init(self):
+        from audiodenoiser_tpu.cli.serve import main
+
+        with pytest.raises(SystemExit):
+            main(["--stream_pool", "lots"])
+
+    def test_stream_pool_auto_passes_validation(self):
+        # 'auto' must survive flag validation and only fail later at the
+        # checkpoint load (no saved_models at the bogus path)
+        from audiodenoiser_tpu.cli.serve import main
+
+        try:
+            main(
+                ["--stream_pool", "auto",
+                 "--saved_models_dir", "/nonexistent_dir_xyz"]
+            )
+        except SystemExit as e:  # must not be the flag-validation exit
+            assert "integer" not in str(e)
+        except Exception:
+            pass  # checkpoint-load failure is the expected downstream error
+
 
 class TestPooledEviction:
     """TTL eviction must release the pool slot and turn late packets into
