@@ -34,6 +34,13 @@ def main(argv=None):
     ap.add_argument("--sample_rate", type=int, default=8000)
     ap.add_argument("--ticks", type=int, default=20)
     ap.add_argument("--width_mult", type=float, default=1.0)
+    ap.add_argument(
+        "--layouts", default="pooled,independent",
+        help="comma list of serving layouts to measure. At 32+ streams the "
+        "independent layout is dispatch-bound far below realtime (32 "
+        "streams: 1067 ms/tick, per-stream RTF 0.94) and takes ~N*dispatch "
+        "per tick — skip it at large N with --layouts pooled.",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     sr, hop = args.sample_rate, args.chunk // 2
@@ -85,26 +92,42 @@ def main(argv=None):
         return (time.perf_counter() - t0) / args.ticks
 
     audio_per_tick = args.streams * hop / sr
-    rows = {}
-    for name, fn in (("pooled", run_pool), ("independent", run_independent)):
-        dt = fn()
+    layouts = {"pooled": run_pool, "independent": run_independent}
+    chosen = [s.strip() for s in args.layouts.split(",") if s.strip()]
+    unknown = [s for s in chosen if s not in layouts]
+    if unknown:
+        raise SystemExit(f"unknown --layouts entries: {unknown}")
+    rows = {
+        "config": {
+            "streams": args.streams, "chunk": args.chunk,
+            "width_mult": args.width_mult, "sample_rate": sr,
+        }
+    }
+
+    def flush():
+        # write after EVERY layout: a timeout mid-measurement (the
+        # independent layout at 64 streams exceeds any sane budget)
+        # must not discard the rows already measured
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rows, f, indent=2)
+
+    flush()
+    for name in chosen:
+        dt = layouts[name]()
         rows[name] = {
             "tick_wall_ms": 1000 * dt,
             "aggregate_rtf": audio_per_tick / dt,
             "per_stream_rtf": audio_per_tick / dt / args.streams,
         }
         print(name, json.dumps(rows[name]), flush=True)
-    rows["config"] = {
-        "streams": args.streams, "chunk": args.chunk,
-        "width_mult": args.width_mult, "sample_rate": sr,
-    }
-    print(
-        f"pooled speedup over independent: "
-        f"{rows['independent']['tick_wall_ms'] / rows['pooled']['tick_wall_ms']:.2f}x"
-    )
+        flush()
+    if "pooled" in rows and "independent" in rows:
+        print(
+            f"pooled speedup over independent: "
+            f"{rows['independent']['tick_wall_ms'] / rows['pooled']['tick_wall_ms']:.2f}x"
+        )
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rows, f, indent=2)
         print(f"wrote {args.out}")
 
 
