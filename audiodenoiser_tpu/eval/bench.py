@@ -19,16 +19,22 @@ import time
 
 def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase",
-              pipelined: bool = True, width_mult: float = 1.0) -> dict:
+              pipelined: bool = True, width_mult: float = 1.0,
+              pallas_deconv: bool = False) -> dict:
     """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
     smaller-HBM devices/backends the default must degrade instead of
     crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
     while True:
         try:
             return _run_bench_once(batch_size, clip_seconds, iters, warmup,
-                                   mode, pipelined, width_mult)
+                                   mode, pipelined, width_mult,
+                                   pallas_deconv)
         except Exception as e:
-            oom = "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+            # the axon relay wraps AOT-compile OOM as INTERNAL with this
+            # wording, not RESOURCE_EXHAUSTED (measured round 3)
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Out of memory" in str(e)
+                   or "would exceed memory" in str(e))
             if not oom or batch_size <= 32:
                 raise
             batch_size //= 2
@@ -37,7 +43,8 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
 
 def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
                     warmup: int, mode: str, pipelined: bool,
-                    width_mult: float = 1.0) -> dict:
+                    width_mult: float = 1.0,
+                    pallas_deconv: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,6 +58,8 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     from audiodenoiser_tpu.models.unet import width_kwargs
 
     wkw = width_kwargs(width_mult)
+    if pallas_deconv:
+        wkw["pallas_deconv"] = True
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
@@ -332,6 +341,9 @@ def main(argv=None):
     p.add_argument("--width_mult", type=float, default=1.0,
                    help="benchmark a width-scaled compact student instead "
                    "of the reference 31M-param architecture")
+    p.add_argument("--pallas_deconv", action="store_true",
+                   help="lower the decoder's k=2,s=2 deconvs through the "
+                   "Pallas sub-pixel-matmul kernel (A/B vs XLA's lowering)")
     args = p.parse_args(argv)
     _require_device()
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
@@ -339,7 +351,8 @@ def main(argv=None):
     enable_persistent_cache()
     result = run_bench(args.batch_size, args.clip_seconds, args.iters,
                        mode=args.mode, pipelined=not args.latency,
-                       width_mult=args.width_mult)
+                       width_mult=args.width_mult,
+                       pallas_deconv=args.pallas_deconv)
     if not args.no_train:
         # fold the training numbers into the same single JSON line the
         # driver records (metric/value/unit/vs_baseline stay the headline)

@@ -61,6 +61,56 @@ class DoubleConv(nn.Module):
         return x
 
 
+class PallasConvTranspose2x2(nn.Module):
+    """Drop-in ConvTranspose(k=2,s=2,VALID) backed by the Pallas kernel.
+
+    Parameter names, shapes, dtypes, and initializers match
+    ``nn.ConvTranspose`` exactly, so checkpoints are interchangeable with
+    the XLA path; only the forward lowering differs
+    (``ops/pallas/deconv_kernel.py`` — the four sub-pixel matmuls are
+    interleaved in VMEM instead of XLA's deconv lowering). Interpret mode
+    is selected off-TPU, like the STFT kernels.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas.deconv_kernel import conv_transpose_2x2
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if self.features < 128:
+            # Mosaic rejects the kernel's 5-D bf16 relayout when Cout is
+            # under the 128-lane width (measured round 3: the 31M net's
+            # up3 deconv, Cout=64, fails to compile at batch 1024). Use
+            # flax's own lowering for those layers — same params.
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                strides=(2, 2),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=False,
+            )
+            return y + bias.astype(self.dtype)
+        return conv_transpose_2x2(
+            x.astype(self.dtype),
+            kernel,
+            bias,
+            jax.default_backend() == "cpu",
+        )
+
+
 def _pad_to_match(x: jax.Array, target: jax.Array) -> jax.Array:
     """Asymmetric zero-pad H/W of ``x`` up to ``target``'s (model.py:44-47)."""
     dy = target.shape[1] - x.shape[1]
@@ -92,6 +142,9 @@ class UNet(nn.Module):
     zero_out_init: bool = False  # zero-init the final 1x1 conv: used by
     # the residual complex-mask head so a fresh network is an exact
     # pass-through (deviation-from-identity starts at zero)
+    pallas_deconv: bool = False  # lower the k=2,s=2 upsampling deconvs
+    # through the Pallas sub-pixel-matmul kernel instead of XLA's
+    # deconv lowering; parameters are identical either way
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -109,15 +162,20 @@ class UNet(nn.Module):
         x = block(self.bottleneck, dtype=self.dtype, name="bottleneck")(x, train)
 
         for i, (f, skip) in enumerate(zip(reversed(self.features), reversed(skips))):
-            x = nn.ConvTranspose(
-                f,
-                kernel_size=(2, 2),
-                strides=(2, 2),
-                padding="VALID",
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name=f"up{i}_deconv",
-            )(x)
+            if self.pallas_deconv:
+                x = PallasConvTranspose2x2(
+                    f, dtype=self.dtype, name=f"up{i}_deconv"
+                )(x)
+            else:
+                x = nn.ConvTranspose(
+                    f,
+                    kernel_size=(2, 2),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"up{i}_deconv",
+                )(x)
             x = _pad_to_match(x, skip)
             # skip first, upsampled second — reference cat order (model.py:49)
             x = jnp.concatenate([skip, x], axis=-1)

@@ -102,3 +102,103 @@ class TestIstftKernel:
         with pytest.raises(ValueError):
             istft_pallas(jnp.zeros((1, 100, 4)), jnp.zeros((1, 100, 4)),
                          jnp.zeros(512), 512, 128, interpret=True)
+
+
+class TestDeconvKernel:
+    """conv_transpose_2x2 vs flax nn.ConvTranspose (the XLA lowering)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(7)
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (3, 16, 4, 64, 32),   # bottleneck-like: tall channels, tiny W
+            (2, 8, 7, 32, 16),    # odd W (the 257x126 eval shapes)
+            (1, 4, 63, 16, 8),    # wide odd W, batch 1
+            (9, 16, 4, 128, 64),  # batch not a multiple of the tile
+        ],
+    )
+    def test_matches_flax(self, rng, shape):
+        import flax.linen as nn
+
+        from audiodenoiser_tpu.ops.pallas import conv_transpose_2x2
+
+        b, h, w, cin, cout = shape
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 2, cin, cout)) * 0.1,
+                        jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        mod = nn.ConvTranspose(cout, kernel_size=(2, 2), strides=(2, 2),
+                               padding="VALID")
+        ref = mod.apply({"params": {"kernel": k, "bias": bias}}, x)
+        ours = conv_transpose_2x2(x, k, bias, True)
+        assert ours.shape == (b, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self, rng):
+        import flax.linen as nn
+
+        from audiodenoiser_tpu.ops.pallas import conv_transpose_2x2
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 4, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 2, 16, 8)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        mod = nn.ConvTranspose(8, kernel_size=(2, 2), strides=(2, 2),
+                               padding="VALID")
+
+        def f_ref(x, k, b):
+            return jnp.sum(
+                jnp.sin(mod.apply({"params": {"kernel": k, "bias": b}}, x))
+            )
+
+        def f_ours(x, k, b):
+            return jnp.sum(jnp.sin(conv_transpose_2x2(x, k, b, True)))
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, k, bias)
+        g_ours = jax.grad(f_ours, argnums=(0, 1, 2))(x, k, bias)
+        for a, b_ in zip(g_ref, g_ours):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4)
+
+    def test_unet_forward_identical(self, rng):
+        """pallas_deconv=True is a pure lowering change: same params, same
+        outputs (incl. odd intermediate W from the eval shapes)."""
+        from audiodenoiser_tpu.models import UNet
+
+        xla = UNet(features=(8, 16, 24, 32), bottleneck=48)
+        pal = UNet(features=(8, 16, 24, 32), bottleneck=48,
+                   pallas_deconv=True)
+        x = jnp.asarray(rng.standard_normal((1, 32, 48, 1)), jnp.float32)
+        variables = xla.init(jax.random.key(0), x)
+        a = xla.apply(variables, x, train=False)
+        b = pal.apply(variables, x, train=False)
+        assert jax.tree_util.tree_structure(
+            pal.init(jax.random.key(0), x)
+        ) == jax.tree_util.tree_structure(variables)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_bad_kernel_shape_rejected(self):
+        from audiodenoiser_tpu.ops.pallas import conv_transpose_2x2
+
+        with pytest.raises(ValueError):
+            conv_transpose_2x2(jnp.zeros((1, 4, 4, 8)),
+                               jnp.zeros((3, 3, 8, 4)), jnp.zeros(4), True)
+
+    def test_module_pallas_path_wide(self, rng):
+        """PallasConvTranspose2x2 at features>=128 (the kernel path; under
+        128 the module falls back to the XLA lowering) matches flax."""
+        import flax.linen as nn
+
+        from audiodenoiser_tpu.models.unet import PallasConvTranspose2x2
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 4, 64)), jnp.float32)
+        mod_p = PallasConvTranspose2x2(128)
+        mod_x = nn.ConvTranspose(128, kernel_size=(2, 2), strides=(2, 2),
+                                 padding="VALID")
+        v = mod_p.init(jax.random.key(3), x)
+        a = mod_p.apply(v, x)
+        b = mod_x.apply(v, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
