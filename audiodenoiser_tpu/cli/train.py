@@ -132,6 +132,16 @@ def parse_args(argv=None):
         "U-Net.",
     )
     ext.add_argument(
+        "--attn_bottleneck", action="store_true",
+        help="insert one residual self-attention block after the U-Net "
+        "bottleneck (global clip context — aimed at reverb, whose IR "
+        "smears energy across the whole window). Zero-init projection: "
+        "a fresh run starts forward-identical to the plain U-Net. "
+        "Recorded in the checkpoint sidecar so eval/serve rebuild it. "
+        "Works with both families and --width_mult; not supported with "
+        "--pp_stages (the 1F1B stage splitter is convolutional-only).",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -556,6 +566,7 @@ def main(argv=None):
         model_parallel=args.model_parallel,
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
         width_mult=args.width_mult,
+        attn_bottleneck=args.attn_bottleneck,
         extra_config=vars(args),
     )
 
@@ -706,6 +717,10 @@ def main(argv=None):
     if args.pp_stages:
         if args.model != "unet":
             raise SystemExit("--pp_stages supports the unet family only")
+        if args.attn_bottleneck:
+            raise SystemExit("--pp_stages does not support "
+                             "--attn_bottleneck (the 1F1B stage splitter "
+                             "carries convolutional blocks only)")
         if args.lr_schedule != "constant" or args.ema_decay or args.fsdp:
             raise SystemExit(
                 "--pp_stages supports the constant-LR AdamW path only "
@@ -748,6 +763,8 @@ def main(argv=None):
 
         if args.width_mult != 1.0:
             mask_meta["width_mult"] = args.width_mult
+        if args.attn_bottleneck:
+            mask_meta["attn_bottleneck"] = True
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         teacher = None
         if args.distill_from:
@@ -766,6 +783,7 @@ def main(argv=None):
                 ComplexMaskUNet(dtype=dtype, mask_bound=bound,
                                 residual=residual,
                                 zero_out_init=residual,
+                                attn_bottleneck=args.attn_bottleneck,
                                 **width_kwargs(args.width_mult)),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
@@ -778,10 +796,14 @@ def main(argv=None):
                                   distill_weight=args.distill_weight,
                                   distill_feat_weight=args.distill_features),
         )
-    elif args.model == "unet" and args.width_mult != 1.0:
-        # compact magnitude-family student: the loader needs the width to
-        # rebuild the architecture (same sidecar flow the mask head uses)
+    elif args.model == "unet" and (
+        args.width_mult != 1.0 or args.attn_bottleneck
+    ):
+        # magnitude-family architecture variants: the loader needs these
+        # to rebuild the model (same sidecar flow the mask head uses)
         mask_meta = {"width_mult": args.width_mult}
+        if args.attn_bottleneck:
+            mask_meta["attn_bottleneck"] = True
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)

@@ -144,6 +144,8 @@ def load_model_from_path(
         from audiodenoiser_tpu.models.unet import width_kwargs
 
         kwargs = width_kwargs(float(meta.get("width_mult", 1.0)))
+        if meta.get("attn_bottleneck"):
+            kwargs["attn_bottleneck"] = True
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 

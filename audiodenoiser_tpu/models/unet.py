@@ -61,6 +61,70 @@ class DoubleConv(nn.Module):
         return x
 
 
+def _sincos_2d(h: int, w: int, dim: int):
+    """Fixed 2-D sin/cos positional encoding (h, w, dim), trace-time.
+
+    Shape-generic by construction: computed from the static trace-time
+    spatial dims, so the same parameters serve the (16, 4) training
+    bottleneck and the (16, 7)-ish whole-clip eval bottlenecks (the
+    reference evaluates at (257, T) — SURVEY.md §3.3)."""
+    import numpy as np_
+
+    half = dim // 2
+
+    def enc(n, d):
+        pos = np_.arange(n, dtype=np_.float64)[:, None]
+        i = np_.arange(d // 2, dtype=np_.float64)[None, :]
+        ang = pos / np_.power(10000.0, 2.0 * i / d)
+        return np_.concatenate([np_.sin(ang), np_.cos(ang)], axis=-1)
+
+    eh = enc(h, half)  # (h, half)
+    ew = enc(w, dim - half)  # (w, dim - half)
+    pe = np_.concatenate(
+        [
+            np_.broadcast_to(eh[:, None, :], (h, w, half)),
+            np_.broadcast_to(ew[None, :, :], (h, w, dim - half)),
+        ],
+        axis=-1,
+    )
+    return pe.astype(np_.float32)
+
+
+class BottleneckAttention(nn.Module):
+    """One pre-LN multi-head self-attention block over bottleneck pixels.
+
+    The U-Net's receptive field is local; reverb — the hardest corruption
+    (a ~0.4 s exact JUCE IR, ``dsp/noise.py``) — smears energy across the
+    whole 2 s window, so a global mixing step at the (H/16 x W/16)
+    bottleneck (64 tokens at the training crop) gives the decoder
+    clip-wide context at negligible FLOP cost. Residual with a zero-init
+    output projection: at init the block is an exact no-op, so the
+    attention variant starts from the proven convolutional behavior.
+    """
+
+    heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        pe = jnp.asarray(_sincos_2d(h, w, c)).reshape(1, h * w, c)
+        y = x.reshape(b, h * w, c)
+        tok = nn.LayerNorm(dtype=jnp.float32, name="ln")(y)
+        tok = (tok + pe).astype(self.dtype)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads,
+            qkv_features=max(64, c // 4),
+            out_features=c,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.lecun_normal(),
+            out_kernel_init=nn.initializers.zeros,
+            name="mhsa",
+        )(tok)
+        return (y + attn).reshape(b, h, w, c).astype(self.dtype)
+
+
 class PallasConvTranspose2x2(nn.Module):
     """Drop-in ConvTranspose(k=2,s=2,VALID) backed by the Pallas kernel.
 
@@ -145,6 +209,10 @@ class UNet(nn.Module):
     pallas_deconv: bool = False  # lower the k=2,s=2 upsampling deconvs
     # through the Pallas sub-pixel-matmul kernel instead of XLA's
     # deconv lowering; parameters are identical either way
+    attn_bottleneck: bool = False  # insert one residual self-attention
+    # block after the bottleneck convs (global context for corruptions
+    # with clip-wide structure, e.g. reverb); zero-init projection makes
+    # a fresh attention variant forward-identical to the plain U-Net
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -160,6 +228,8 @@ class UNet(nn.Module):
             x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
         x = block(self.bottleneck, dtype=self.dtype, name="bottleneck")(x, train)
+        if self.attn_bottleneck:
+            x = BottleneckAttention(dtype=self.dtype, name="bottleneck_attn")(x)
 
         for i, (f, skip) in enumerate(zip(reversed(self.features), reversed(skips))):
             if self.pallas_deconv:

@@ -191,6 +191,9 @@ class FitConfig:
     width_mult: float = 1.0  # channel-width multiplier for the compact
     # student family (models.unet.scaled_widths); 1.0 is the reference
     # 31 M-param architecture
+    attn_bottleneck: bool = False  # insert the residual self-attention
+    # block after the bottleneck (models.unet.BottleneckAttention);
+    # recorded in the checkpoint sidecar like width_mult
     extra_config: dict = field(default_factory=dict)
 
 
@@ -277,6 +280,7 @@ def fit(
         model = UNet(
             dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
             remat=config.remat,
+            attn_bottleneck=config.attn_bottleneck,
             **width_kwargs(config.width_mult),
         )
         state = create_train_state(

@@ -97,3 +97,79 @@ class TestMixedPrecision:
         grads = jax.grad(loss_fn)(variables["params"])
         norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
         assert any(n > 0 for n in norms)
+
+
+class TestAttentionBottleneck:
+    """UNet(attn_bottleneck=True): one residual MHSA block after the
+    bottleneck convs, zero-init projection, fixed 2-D sin/cos positions."""
+
+    TINY = dict(features=(8, 16, 24, 32), bottleneck=48)
+
+    def test_zero_init_is_noop(self):
+        base = UNet(**self.TINY)
+        attn = UNet(attn_bottleneck=True, **self.TINY)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 32, 48, 1)),
+            jnp.float32,
+        )
+        vb = base.init(jax.random.key(0), x)
+        va = attn.init(jax.random.key(0), x)
+        # graft the conv weights; the attention block is additive-only
+        pa = dict(va["params"])
+        pa.update(vb["params"])
+        a = jax.jit(lambda v, x: base.apply(v, x, train=False))(vb, x)
+        b = jax.jit(lambda v, x: attn.apply(v, x, train=False))(
+            {"params": pa, "batch_stats": vb["batch_stats"]}, x
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shape_generic_positions(self):
+        # eval clips hit bottleneck grids unseen at train time; the sin/cos
+        # positions are computed from the trace-time dims so the SAME
+        # params must serve both
+        attn = UNet(attn_bottleneck=True, **self.TINY)
+        v = attn.init(jax.random.key(0), jnp.zeros((1, 32, 48, 1)))
+        out = jax.jit(lambda v, x: attn.apply(v, x, train=False))(
+            v, jnp.zeros((1, 48, 37, 1))
+        )
+        assert out.shape == (1, 48, 37, 1)
+
+    def test_attention_params_exist_and_grads_flow(self):
+        attn = UNet(attn_bottleneck=True, **self.TINY)
+        x = jnp.ones((1, 32, 48, 1))
+        v = attn.init(jax.random.key(1), x)
+        assert "bottleneck_attn" in v["params"]
+
+        def loss_fn(params):
+            out, _ = attn.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss_fn)(v["params"])
+        # at zero-init the q/k/v grads are zero (they flow through the
+        # zero out-projection); the out-projection itself trains first
+        out_k = g["bottleneck_attn"]["mhsa"]["out"]["kernel"]
+        assert float(jnp.abs(out_k).max()) > 0
+
+    def test_sidecar_roundtrip(self, tmp_path):
+        from audiodenoiser_tpu.eval.runner import load_model_from_path
+        from audiodenoiser_tpu.train.checkpoints import export_model
+
+        attn = UNet(attn_bottleneck=True)
+        template = jax.eval_shape(
+            lambda: attn.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+        )
+        variables = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template
+        )
+        path = str(tmp_path / "unet_denoiser_white.ckpt")
+        export_model(path, variables["params"], variables["batch_stats"])
+        import json
+
+        with open(str(tmp_path / "unet_denoiser_white.json"), "w") as f:
+            json.dump({"attn_bottleneck": True}, f)
+        model, loaded = load_model_from_path(path, stem="unet")
+        assert model.attn_bottleneck
+        assert "bottleneck_attn" in loaded["params"]
