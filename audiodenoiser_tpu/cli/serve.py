@@ -129,9 +129,6 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     stem = "mask_denoiser" if args.model == "complex_mask" else "unet_denoiser"
-    model, variables = load_model_for_noise(
-        args.noise_type, args.saved_models_dir, dtype=dtype, stem=stem
-    )
     # mirror eval/bench.py: serving uses the fused Pallas STFT/iSTFT on TPU
     # (bucketed clips are short, so the kernels fit VMEM)
     if args.precision_path == "auto":
@@ -147,107 +144,148 @@ def main(argv=None):
 
         mesh = make_mesh(model_parallel=max(1, args.model_parallel))
         print(f"Device mesh: {dict(mesh.shape)}")
-    runner = DenoiserRunner(model, variables, precision=path, mesh=mesh)
-    default_mode = args.mode or (
-        "complex_mask" if args.model == "complex_mask" else "noisy_phase"
-    )
-    router = expert_runners = None
-    auto_expert_mode = "noisy_phase"
-    if args.auto_route:
-        from audiodenoiser_tpu.eval.ensemble import load_mixture
-        from audiodenoiser_tpu.models.router import NOISE_CLASSES
-
-        mixture = load_mixture(args.saved_models_dir, dtype=dtype, stem=stem)
-        router = (mixture.router_model, mixture.router_params,
-                  mixture.router_window)
-        expert_runners = {
-            i: DenoiserRunner(
-                mixture.expert_models[i], mixture.expert_vars[i],
-                precision=path, mesh=mesh,
-            )
-            for i in range(len(NOISE_CLASSES))
-        }
-        if args.model == "complex_mask":
-            auto_expert_mode = "complex_mask"
-        default_mode = args.mode or "auto"
-        print(
-            f"Auto-routing over {stem} specialists: {', '.join(NOISE_CLASSES)}"
-        )
-    if not args.no_warmup:
-        print("Warming up (pre-compiling first-bucket programs)...")
-    service = DenoiseService(
-        runner,
-        sample_rate=args.sample_rate,
-        bucket_samples=int(args.bucket_seconds * args.sample_rate),
-        max_seconds=args.max_seconds,
-        default_mode=default_mode,
-        warmup=not args.no_warmup,
-        router=router,
-        expert_runners=expert_runners,
-        auto_expert_mode=auto_expert_mode,
-        bypass_db=args.bypass_db,
-    )
-    # chunked low-latency streaming sessions (POST /stream/start|{id}):
-    # one shared StreamingDenoiser so sessions reuse its compiled graphs
-    from audiodenoiser_tpu.eval.streaming import (
-        LowLatencyStreamingDenoiser,
-        RoutedStreamingSession,
-        StreamingDenoiser,
-    )
-
     chunk = int(args.bucket_seconds * args.sample_rate)
     chunk -= chunk % 2  # WOLA needs an even chunk
     stream_mode = (
         "complex_mask" if args.model == "complex_mask" else "noisy_phase"
     )
-    if args.stream_latency_ms is not None:
-        streamer = LowLatencyStreamingDenoiser.from_latency_budget(
-            runner, args.stream_latency_ms, sample_rate=args.sample_rate,
-            window_samples=chunk, mode=stream_mode,
-        )
-    else:
-        streamer = StreamingDenoiser(
-            runner, chunk_samples=chunk, sample_rate=args.sample_rate,
-            mode=stream_mode,
-        )
-    routed_mixture = mixture if args.auto_route else None
 
-    pooled = None
-    if args.stream_pool is not None:
+    def build_generation() -> dict:
+        """Load the current checkpoints and build every runner a serving
+        generation needs. Called once at startup and again by each
+        ``POST /admin/reload`` — the sidecar-driven loaders mean even an
+        architecture change (width_mult, attn_bottleneck, mask head) hot-
+        swaps correctly."""
+        model, variables = load_model_for_noise(
+            args.noise_type, args.saved_models_dir, dtype=dtype, stem=stem
+        )
+        runner = DenoiserRunner(model, variables, precision=path, mesh=mesh)
+        router = expert_runners = mixture = None
+        auto_expert_mode = "noisy_phase"
+        if args.auto_route:
+            from audiodenoiser_tpu.eval.ensemble import load_mixture
+            from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+            mixture = load_mixture(args.saved_models_dir, dtype=dtype,
+                                   stem=stem)
+            router = (mixture.router_model, mixture.router_params,
+                      mixture.router_window)
+            expert_runners = {
+                i: DenoiserRunner(
+                    mixture.expert_models[i], mixture.expert_vars[i],
+                    precision=path, mesh=mesh,
+                )
+                for i in range(len(NOISE_CLASSES))
+            }
+            if args.model == "complex_mask":
+                auto_expert_mode = "complex_mask"
+            print(f"Auto-routing over {stem} specialists: "
+                  f"{', '.join(NOISE_CLASSES)}")
+        # chunked low-latency streaming sessions (POST /stream/start|{id}):
+        # one shared StreamingDenoiser so sessions reuse compiled graphs
         from audiodenoiser_tpu.eval.streaming import (
-            MultiStreamWola,
-            PooledStreamSessions,
-            auto_pool_capacity,
+            LowLatencyStreamingDenoiser,
+            StreamingDenoiser,
         )
 
-        capacity = args.stream_pool
-        if capacity == "auto":
-            capacity = auto_pool_capacity(
-                runner, chunk_samples=chunk, mode=stream_mode
+        if args.stream_latency_ms is not None:
+            streamer = LowLatencyStreamingDenoiser.from_latency_budget(
+                runner, args.stream_latency_ms, sample_rate=args.sample_rate,
+                window_samples=chunk, mode=stream_mode,
             )
-            print(f"--stream_pool auto: sized pool to {capacity} streams")
-        pooled = PooledStreamSessions(
-            MultiStreamWola(
-                runner, capacity=capacity, chunk_samples=chunk,
-                sample_rate=args.sample_rate, mode=stream_mode,
+        else:
+            streamer = StreamingDenoiser(
+                runner, chunk_samples=chunk, sample_rate=args.sample_rate,
+                mode=stream_mode,
             )
-        )
+        pooled = None
+        if args.stream_pool is not None:
+            from audiodenoiser_tpu.eval.streaming import (
+                MultiStreamWola,
+                PooledStreamSessions,
+                auto_pool_capacity,
+            )
+
+            capacity = args.stream_pool
+            if capacity == "auto":
+                capacity = auto_pool_capacity(
+                    runner, chunk_samples=chunk, mode=stream_mode
+                )
+                print(f"--stream_pool auto: sized pool to {capacity} streams")
+            pooled = PooledStreamSessions(
+                MultiStreamWola(
+                    runner, capacity=capacity, chunk_samples=chunk,
+                    sample_rate=args.sample_rate, mode=stream_mode,
+                )
+            )
+        return {
+            "runner": runner, "router": router,
+            "expert_runners": expert_runners, "mixture": mixture,
+            "auto_expert_mode": auto_expert_mode,
+            "streamer": streamer, "pooled": pooled,
+        }
+
+    gen = {"cur": build_generation()}
+    g0 = gen["cur"]
+    default_mode = args.mode or (
+        "auto" if args.auto_route
+        else "complex_mask" if args.model == "complex_mask"
+        else "noisy_phase"
+    )
+    if not args.no_warmup:
+        print("Warming up (pre-compiling first-bucket programs)...")
+    service = DenoiseService(
+        g0["runner"],
+        sample_rate=args.sample_rate,
+        bucket_samples=int(args.bucket_seconds * args.sample_rate),
+        max_seconds=args.max_seconds,
+        default_mode=default_mode,
+        warmup=not args.no_warmup,
+        router=g0["router"],
+        expert_runners=g0["expert_runners"],
+        auto_expert_mode=g0["auto_expert_mode"],
+        bypass_db=args.bypass_db,
+    )
+    from audiodenoiser_tpu.eval.streaming import RoutedStreamingSession
 
     def stream_factory(mode):
-        if routed_mixture is not None and mode in (None, "auto"):
+        cur = gen["cur"]  # open sessions keep their generation; new
+        # sessions always bind the latest one
+        if cur["mixture"] is not None and mode in (None, "auto"):
             return RoutedStreamingSession(
-                routed_mixture, chunk_samples=chunk,
+                cur["mixture"], chunk_samples=chunk,
                 sample_rate=args.sample_rate, precision=path,
             )
-        if pooled is not None:
-            return pooled.session()  # IndexError when full -> 503 upstream
-        return streamer.session()
+        if cur["pooled"] is not None:
+            return cur["pooled"].session()  # IndexError when full -> 503
+        return cur["streamer"].session()
+
+    import threading
+
+    reload_lock = threading.Lock()
+
+    def reload_fn():
+        # build (and pre-compile) the new generation BEFORE swapping so a
+        # broken checkpoint directory can never take down live serving
+        with reload_lock:
+            g2 = build_generation()
+            n = service.reload(
+                runner=g2["runner"], expert_runners=g2["expert_runners"],
+                router=g2["router"], warmup=not args.no_warmup,
+            )
+            gen["cur"] = g2
+            print(f"Reloaded checkpoints from {args.saved_models_dir} "
+                  f"(generation {n})")
+            return {"generation": n,
+                    "saved_models_dir": args.saved_models_dir}
 
     server = make_http_server(
-        service, args.host, args.port, stream_factory=stream_factory
+        service, args.host, args.port, stream_factory=stream_factory,
+        reload_fn=reload_fn,
     )
     stream_desc = (
-        f"low-latency {streamer.latency_samples * 1000 // args.sample_rate} ms"
+        f"low-latency "
+        f"{g0['streamer'].latency_samples * 1000 // args.sample_rate} ms"
         if args.stream_latency_ms is not None
         else f"WOLA chunk={chunk}"
     )

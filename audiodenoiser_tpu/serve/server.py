@@ -113,32 +113,9 @@ class DenoiseService:
         self._classify = None
         self.expert_runners = expert_runners
         self.auto_expert_mode = auto_expert_mode
+        self.generation = 0  # checkpoint generation, bumped by reload()
         if router is not None and expert_runners is not None:
-            # (model, params) or (model, params, window): the optional
-            # window is the router's training crop (ADVICE r2)
-            router_model, router_params = router[0], router[1]
-            router_window = tuple(router[2]) if len(router) > 2 else (256, 64)
-            import jax.numpy as jnp
-
-            import audiodenoiser_tpu.dsp.stft as stft_lib
-            from audiodenoiser_tpu.eval.ensemble import windowed_logits
-
-            n_fft, hop = runner.n_fft, runner.hop
-
-            @jax.jit
-            def classify(audio):
-                mag = jnp.abs(
-                    stft_lib.stft(audio, n_fft, hop, center=True)
-                )
-                # windowed vote, same as eval routing: whole-clip raw
-                # classification loses ~13% accuracy to the train/serve
-                # feature-distribution shift (eval/ensemble.windowed_logits)
-                logits = windowed_logits(
-                    router_model, router_params, mag[..., None], router_window
-                )
-                return jnp.argmax(logits, -1)
-
-            self._classify = classify
+            self._classify = self._build_classifier(router)
         if default_mode == "auto" and self._classify is None:
             raise ValueError(
                 "default_mode='auto' requires router and expert_runners "
@@ -151,6 +128,54 @@ class DenoiseService:
             target=self._dispatch_loop, daemon=True, name="denoise-dispatch"
         )
         self._worker.start()
+
+    def _build_classifier(self, router):
+        # (model, params) or (model, params, window): the optional
+        # window is the router's training crop (ADVICE r2)
+        router_model, router_params = router[0], router[1]
+        router_window = tuple(router[2]) if len(router) > 2 else (256, 64)
+        import jax.numpy as jnp
+
+        import audiodenoiser_tpu.dsp.stft as stft_lib
+        from audiodenoiser_tpu.eval.ensemble import windowed_logits
+
+        n_fft, hop = self.runner.n_fft, self.runner.hop
+
+        @jax.jit
+        def classify(audio):
+            mag = jnp.abs(stft_lib.stft(audio, n_fft, hop, center=True))
+            # windowed vote, same as eval routing: whole-clip raw
+            # classification loses ~13% accuracy to the train/serve
+            # feature-distribution shift (eval/ensemble.windowed_logits)
+            logits = windowed_logits(
+                router_model, router_params, mag[..., None], router_window
+            )
+            return jnp.argmax(logits, -1)
+
+        return classify
+
+    def reload(self, runner=None, expert_runners=None, router=None,
+               warmup: bool = False) -> int:
+        """Swap in a new checkpoint generation without dropping traffic.
+
+        Pointer swaps are atomic under the GIL: the batch currently on
+        device finishes on the old runner; every later batch (queued or
+        new) uses the new one. Callers should construct (and optionally
+        pre-compile, ``warmup=True``) the new runner BEFORE calling so the
+        dispatch loop never waits on a cold compile. Returns the new
+        generation number (also exported as ``adt_model_generation``).
+        """
+        if runner is not None:
+            self.runner = runner
+        if expert_runners is not None:
+            self.expert_runners = expert_runners
+        if router is not None:
+            self._classify = self._build_classifier(router)
+        if warmup:
+            self._warmup()
+        with self._metrics_lock:
+            self.generation += 1
+            return self.generation
 
     def _warmup(self):
         """Pre-compile the first-bucket programs (batch 1 and max_batch) so
@@ -314,6 +339,8 @@ class DenoiseService:
                 f"adt_queue_depth {self._queue.qsize()}",
                 "# TYPE adt_stream_sessions gauge",
                 f"adt_stream_sessions {stream_sessions}",
+                "# TYPE adt_model_generation gauge",
+                f"adt_model_generation {self.generation}",
                 "# TYPE adt_request_latency_ms histogram",
             ]
         cum = 0
@@ -359,6 +386,7 @@ def make_http_server(
     stream_factory=None,
     stream_ttl: float = 600.0,
     max_stream_sessions: int = 64,
+    reload_fn=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; call .serve_forever() to run.
 
@@ -373,6 +401,13 @@ def make_http_server(
       latency: one WOLA chunk of lookahead);
     - ``POST /stream/{id}/flush`` -> the remaining tail; closes the
       session. Idle sessions expire after ``stream_ttl`` seconds.
+
+    ``reload_fn() -> dict`` (optional, wired by ``cli.serve``) enables
+    ``POST /admin/reload``: hot-swap the checkpoint generation from the
+    serving directory without dropping traffic. In-flight batches and
+    already-open stream sessions finish on their generation; everything
+    afterwards uses the new weights. On failure the old generation keeps
+    serving and the endpoint returns 500.
     """
     import re
     import uuid
@@ -424,6 +459,7 @@ def make_http_server(
                     "device": str(jax.devices()[0]),
                     "sample_rate": service.sample_rate,
                     "requests_served": service.requests_served,
+                    "model_generation": service.generation,
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
             elif urlparse(self.path).path == "/metrics":
@@ -540,6 +576,29 @@ def make_http_server(
 
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path == "/admin/reload":
+                if reload_fn is None:
+                    self._send(
+                        501,
+                        b'{"error": "reload not configured"}',
+                        "application/json",
+                    )
+                    return
+                try:
+                    info = reload_fn() or {}
+                except Exception as e:
+                    # old generation keeps serving; report the failure
+                    self._send(
+                        500,
+                        json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"}
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
+                info.setdefault("generation", service.generation)
+                self._send(200, json.dumps(info).encode(), "application/json")
+                return
             if parsed.path.startswith("/stream"):
                 try:
                     self._handle_stream(parsed)

@@ -851,3 +851,77 @@ class TestPooledEviction:
             post(f"{base}/stream/{sid2}/flush")
         finally:
             server.shutdown()
+
+
+class TestHotReload:
+    """POST /admin/reload: checkpoint generation hot-swap (service.reload)."""
+
+    def _server(self, reload_fn):
+        class ScaleRunner:
+            def __init__(self, scale):
+                self.scale = scale
+
+            def denoise_audio(self, audio, key, mode="noisy_phase", **kw):
+                return audio * self.scale
+
+        svc = DenoiseService(ScaleRunner(1.0), bucket_samples=4000)
+        fn = (lambda: reload_fn(svc, ScaleRunner)) if reload_fn else None
+        server = make_http_server(svc, "127.0.0.1", 0, reload_fn=fn)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return svc, server, f"http://127.0.0.1:{port}"
+
+    def test_reload_swaps_runner_and_bumps_generation(self, rng):
+        def do_reload(svc, ScaleRunner):
+            return {"generation": svc.reload(runner=ScaleRunner(2.0))}
+
+        svc, server, url = self._server(do_reload)
+        try:
+            x = rng.standard_normal(4000).astype(np.float32) * 0.1
+            before = svc.denoise(x)
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"{url}/admin/reload", method="POST"), timeout=10)
+            assert json.loads(r.read())["generation"] == 1
+            after = svc.denoise(x)
+            np.testing.assert_allclose(after, before * 2.0, rtol=1e-6)
+            health = json.loads(
+                urllib.request.urlopen(f"{url}/healthz", timeout=10).read()
+            )
+            assert health["model_generation"] == 1
+            metrics = urllib.request.urlopen(f"{url}/metrics", timeout=10).read()
+            assert b"adt_model_generation 1" in metrics
+        finally:
+            server.shutdown()
+
+    def test_failed_reload_keeps_old_generation(self, rng):
+        def do_reload(svc, ScaleRunner):
+            raise IOError("checkpoint dir is broken")
+
+        svc, server, url = self._server(do_reload)
+        try:
+            x = rng.standard_normal(4000).astype(np.float32) * 0.1
+            before = svc.denoise(x)
+            try:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"{url}/admin/reload", method="POST"), timeout=10)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "broken" in json.loads(e.read())["error"]
+            after = svc.denoise(x)
+            np.testing.assert_allclose(after, before, rtol=1e-6)
+            assert svc.generation == 0
+        finally:
+            server.shutdown()
+
+    def test_reload_unconfigured_501(self):
+        svc, server, url = self._server(None)
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{url}/admin/reload", method="POST"), timeout=10)
+            assert False, "expected HTTP 501"
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+        finally:
+            server.shutdown()
