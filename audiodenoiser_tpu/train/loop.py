@@ -280,7 +280,9 @@ def fit(
         model = UNet(
             dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
             remat=config.remat,
-            attn_bottleneck=config.attn_bottleneck,
+            # only pass when set: keeps the default construction signature
+            # stable for callers/tests that substitute a narrower model
+            **({"attn_bottleneck": True} if config.attn_bottleneck else {}),
             **width_kwargs(config.width_mult),
         )
         state = create_train_state(
