@@ -48,18 +48,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_tiles(b: int, h: int, w: int, cout: int) -> tuple[int, int]:
+def _tile_vmem_bytes(tb: int, th: int, w: int, cin: int, cout: int,
+                     itemsize: int) -> int:
+    """Estimated per-step VMEM: double-buffered x/out tiles, the resident
+    weight block, and the four f32 matmul results live before the cast."""
+    x_tile = tb * th * w * cin * itemsize
+    out_tile = tb * 2 * th * 2 * w * cout * itemsize
+    weights = 4 * cin * cout * itemsize
+    y_f32 = 4 * tb * th * w * cout * 4
+    return 2 * x_tile + 2 * out_tile + weights + y_f32
+
+
+def _pick_tiles(b: int, h: int, w: int, cin: int, cout: int,
+                itemsize: int) -> tuple[int, int]:
     """(TB, TH): batch/row tile sizes.
 
-    Targets ~256-2048 matmul rows per step while bounding the f32 scratch
-    (TB*TH*4*W*C*4 bytes) to ~2 MB; H is a power of two at every U-Net
-    stage, so the largest power-of-two divisor <= target is exact.
+    Targets ~256-2048 matmul rows per step, then shrinks the row tile
+    until the estimated VMEM footprint fits the ~16 MB/core budget (the
+    eval-shape W=7 up0 tile overflowed scoped vmem by 148 KB at the
+    original target — measured round 3). H is a power of two at every
+    U-Net stage, so divisor search terminates quickly.
     """
     tb = min(8, b)
-    m_target = max(512, min(2048, (4 * 1024 * 1024 // 16) // max(cout, 1)))
+    # conservative rows-per-step target: the 4 MB-scratch variant hit the
+    # 16 MB scoped-vmem ceiling at the odd eval widths (Mosaic's sublane
+    # padding of the 5-D interleave intermediates isn't modeled here)
+    m_target = max(256, min(2048, (2 * 1024 * 1024 // 16) // max(cout, 1)))
     th = max(1, m_target // max(tb * w, 1))
-    while h % th:  # power-of-two H makes this terminate at a divisor
+    while h % th:
         th -= 1
+    budget = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+    while th > 1 and _tile_vmem_bytes(tb, th, w, cin, cout, itemsize) > budget:
+        th -= 1
+        while h % th:
+            th -= 1
+    while (tb > 1
+           and _tile_vmem_bytes(tb, th, w, cin, cout, itemsize) > budget):
+        tb //= 2
     return tb, th
 
 
@@ -105,7 +130,7 @@ def _forward(x, kernel, bias, interpret):
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     dtype = x.dtype
-    tb, th = _pick_tiles(b, h, w, cout)
+    tb, th = _pick_tiles(b, h, w, cin, cout, jnp.dtype(dtype).itemsize)
     b_pad = _round_up(b, tb)
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
