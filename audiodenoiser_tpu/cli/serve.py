@@ -88,6 +88,14 @@ def parse_args(argv=None):
         "streams).",
     )
     p.add_argument(
+        "--fold", action="store_true",
+        help="fold eval-mode BatchNorm into the conv kernels at load time "
+        "(models/folded.py): the compiled serving graphs contain only "
+        "conv+bias+relu chains. Exact in exact arithmetic; applies to the "
+        "primary model and every auto-route specialist, and survives "
+        "/admin/reload.",
+    )
+    p.add_argument(
         "--bypass_db", type=float, default=None,
         help="identity-bypass gate: clips whose relative model-change "
         "energy is below -bypass_db are returned verbatim (bit-exact "
@@ -159,6 +167,10 @@ def main(argv=None):
         model, variables = load_model_for_noise(
             args.noise_type, args.saved_models_dir, dtype=dtype, stem=stem
         )
+        if args.fold:
+            from audiodenoiser_tpu.models import fold_runner_inputs
+
+            model, variables = fold_runner_inputs(model, variables)
         runner = DenoiserRunner(model, variables, precision=path, mesh=mesh)
         router = expert_runners = mixture = None
         auto_expert_mode = "noisy_phase"

@@ -20,7 +20,7 @@ import time
 def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase",
               pipelined: bool = True, width_mult: float = 1.0,
-              pallas_deconv: bool = False) -> dict:
+              pallas_deconv: bool = False, fold: bool = True) -> dict:
     """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
     smaller-HBM devices/backends the default must degrade instead of
     crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
@@ -28,7 +28,7 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
         try:
             return _run_bench_once(batch_size, clip_seconds, iters, warmup,
                                    mode, pipelined, width_mult,
-                                   pallas_deconv)
+                                   pallas_deconv, fold)
         except Exception as e:
             # the axon relay wraps AOT-compile OOM as INTERNAL with this
             # wording, not RESOURCE_EXHAUSTED (measured round 3)
@@ -44,7 +44,8 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
 def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
                     warmup: int, mode: str, pipelined: bool,
                     width_mult: float = 1.0,
-                    pallas_deconv: bool = False) -> dict:
+                    pallas_deconv: bool = False,
+                    fold: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,6 +79,20 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
         variables = prepare_int8(variables["params"], variables["batch_stats"])
         model = Int8UNet()
         run_mode = "noisy_phase"
+    elif fold and pallas_deconv:
+        fold = False  # the deconv kernel lives in the flax module the
+        # fold would replace; keep the label honest too
+    elif fold:
+        # BN-folded bf16 serving path (models/folded.py): conv+bias+relu
+        # chains only, no live normalization arithmetic in the graph.
+        # Measured +2.8% over live-BN (352.6k vs 342.9k frames/s, 63.6% vs
+        # 62.0% of bf16 peak, r4) — the default because it IS the
+        # production serving config (cli.serve --fold). Skipped under
+        # --pallas_deconv, whose kernel lives in the flax module the fold
+        # would replace.
+        from audiodenoiser_tpu.models import fold_runner_inputs
+
+        model, variables = fold_runner_inputs(model, variables)
     precision = "pallas" if jax.default_backend() == "tpu" else "fft"
     runner = DenoiserRunner(
         model, variables, n_fft=n_fft, hop_length=hop, precision=precision
@@ -136,7 +151,7 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     frames_per_clip = 1 + n_samples // hop  # center=True STFT frames
     frames = batch_size * frames_per_clip * iters
     fps = frames / dt
-    label = " int8-MXU" if mode == "int8" else ""
+    label = " int8-MXU" if mode == "int8" else (" BN-folded" if fold else "")
     result = {
         "metric": "spectrogram_frames_per_sec_per_chip "
                   f"(STFT->UNet{label}->iSTFT fused)",
@@ -344,6 +359,11 @@ def main(argv=None):
     p.add_argument("--pallas_deconv", action="store_true",
                    help="lower the decoder's k=2,s=2 deconvs through the "
                    "Pallas sub-pixel-matmul kernel (A/B vs XLA's lowering)")
+    p.add_argument("--fold", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fold eval-mode BatchNorm into the conv kernels "
+                   "(bf16 serving path, models/folded.py) before measuring; "
+                   "--no-fold measures the live-BN graph")
     args = p.parse_args(argv)
     _require_device()
     from audiodenoiser_tpu.utils.cache import enable_persistent_cache
@@ -352,7 +372,7 @@ def main(argv=None):
     result = run_bench(args.batch_size, args.clip_seconds, args.iters,
                        mode=args.mode, pipelined=not args.latency,
                        width_mult=args.width_mult,
-                       pallas_deconv=args.pallas_deconv)
+                       pallas_deconv=args.pallas_deconv, fold=args.fold)
     if not args.no_train:
         # fold the training numbers into the same single JSON line the
         # driver records (metric/value/unit/vs_baseline stay the headline)

@@ -5,6 +5,11 @@ from audiodenoiser_tpu.models.complex_mask import (
     denoise_waveform,
     spectrogram_features,
 )
+from audiodenoiser_tpu.models.folded import (
+    FoldedUNet,
+    fold_for_inference,
+    fold_runner_inputs,
+)
 from audiodenoiser_tpu.models.int8 import Int8UNet, prepare_int8
 from audiodenoiser_tpu.models.router import NOISE_CLASSES, NoiseClassifier
 
@@ -18,6 +23,9 @@ __all__ = [
     "apply_mask",
     "denoise_waveform",
     "spectrogram_features",
+    "FoldedUNet",
+    "fold_for_inference",
+    "fold_runner_inputs",
     "Int8UNet",
     "prepare_int8",
 ]

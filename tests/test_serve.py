@@ -454,6 +454,39 @@ class TestServingBypassGate:
         np.testing.assert_array_equal(off, plain)
 
 
+class TestFoldedServing:
+    def test_folded_service_matches_unfolded(self, rng):
+        """A BN-folded runner (cli.serve --fold) serves audio matching the
+        live-BN service within bf16 rounding (models/folded.py)."""
+        from audiodenoiser_tpu.models import fold_runner_inputs
+
+        model = UNet(features=(4, 8), bottleneck=16)
+        state = create_train_state(
+            jax.random.key(1), model, input_shape=(1, 32, 32, 1)
+        )
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        audio = np.clip(
+            rng.standard_normal(6000) * 0.2, -1, 1
+        ).astype(np.float32)
+        plain = DenoiseService(
+            DenoiserRunner(model, variables), bucket_samples=8000
+        ).denoise(audio)
+        fm, fv = fold_runner_inputs(model, variables)
+        folded = DenoiseService(
+            DenoiserRunner(fm, fv), bucket_samples=8000
+        ).denoise(audio)
+        assert folded.shape == plain.shape
+        err = np.linalg.norm(folded - plain) / (np.linalg.norm(plain) + 1e-12)
+        assert err < 0.05, err
+
+    def test_fold_flag_parses(self):
+        from audiodenoiser_tpu.cli.serve import parse_args
+
+        assert parse_args(["--fold"]).fold
+        assert not parse_args([]).fold
+
+
 class TestServeCLIArgs:
     def test_mixed_noise_type_accepted(self):
         from audiodenoiser_tpu.cli.serve import parse_args
