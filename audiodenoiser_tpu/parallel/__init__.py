@@ -11,6 +11,7 @@ from audiodenoiser_tpu.parallel.spatial import (
     denoise_spec_sharded,
     make_seq_mesh,
 )
+from audiodenoiser_tpu.parallel.hybrid import launch_hybrid_check
 from audiodenoiser_tpu.parallel.pipeline import PipelinedDenoiser, make_stages
 from audiodenoiser_tpu.parallel.pipeline_train import (
     PipelineTrainer,
@@ -23,6 +24,7 @@ __all__ = [
     "PipelineTrainer",
     "PipeTrainState",
     "schedule_1f1b",
+    "launch_hybrid_check",
     "make_stages",
     "RECEPTIVE_RADIUS",
     "denoise_spec_sharded",

@@ -338,6 +338,19 @@ class TestMultiHost:
                 raise AssertionError(f"multi-host bootstrap failed twice: {outs}")
 
 
+    def test_hybrid_process_by_device_mesh(self):
+        """Hybrid dp(DCN) x tp+fsdp(local) topology: 2 coordinated processes
+        x 4 virtual devices each run ONE sharded train step over the global
+        (2, 4) mesh with the process boundary on the data axis, and the loss
+        equals a monolithic single-device step exactly (parallel/hybrid.py —
+        the multi-host deployment layout, VERDICT r3 next #7)."""
+        from audiodenoiser_tpu.parallel import launch_hybrid_check
+
+        report = launch_hybrid_check(n_processes=2, local_devices=4)
+        assert "HYBRID_OK" in report
+        assert "mesh={'data': 2, 'model': 4}" in report, report
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
