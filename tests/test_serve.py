@@ -487,6 +487,204 @@ class TestFoldedServing:
         assert not parse_args([]).fold
 
 
+@pytest.mark.soak
+class TestServeSoak:
+    """Sustained mixed load with checkpoint hot-reload under fire
+    (VERDICT r3 next #6): batched /denoise + pooled streams near capacity,
+    POST /admin/reload mid-traffic, then assert zero dropped or corrupted
+    sessions, a p99 latency bound, correct generation counters, and full
+    pool-slot recovery. The two generations are distinguishable by
+    construction (identity vs 0.5x gain), so every byte served is
+    attributable to exactly one generation — a response mixing weights
+    would match neither. The 10-minute memory-stability soak lives in
+    examples/soak_serve.py (docs table); this in-suite version compresses
+    the same traffic shape into ~1 minute."""
+
+    GAIN1 = 0.5
+
+    @pytest.fixture()
+    def soak_server(self):
+        from audiodenoiser_tpu.eval.streaming import (
+            MultiStreamWola,
+            PooledStreamSessions,
+        )
+
+        class _Identity(UNet):
+            def __call__(self, x, train=False):
+                return x
+
+        class _Half(UNet):
+            def __call__(self, x, train=False):
+                return x * TestServeSoak.GAIN1
+
+        runners = [DenoiserRunner(_Identity(), {}),
+                   DenoiserRunner(_Half(), {})]
+        service = DenoiseService(runners[0], bucket_samples=8000,
+                                 max_seconds=10.0)
+        # generation-aware stream factory, as cli.serve wires it: new
+        # sessions ride the current pool; open sessions keep theirs
+        pools = {"cur": PooledStreamSessions(
+            MultiStreamWola(runners[0], capacity=3, chunk_samples=2048)
+        )}
+        reloads = {"n": 0}
+
+        def reload_fn():
+            nxt = runners[(reloads["n"] + 1) % 2]
+            pools["cur"] = PooledStreamSessions(
+                MultiStreamWola(nxt, capacity=3, chunk_samples=2048)
+            )
+            n = service.reload(runner=nxt)
+            reloads["n"] += 1
+            return {"generation": n}
+
+        server = make_http_server(
+            service, "127.0.0.1", 0,
+            stream_factory=lambda mode: pools["cur"].session(),
+            stream_ttl=600.0, reload_fn=reload_fn,
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}", service, reloads
+        server.shutdown()
+
+    @staticmethod
+    def _post(url, data=b"", timeout=60):
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.read()
+
+    def test_soak_reload_under_fire(self, soak_server, rng):
+        url, service, reloads = soak_server
+        stop = time.monotonic() + 45.0
+        errors = []
+        latencies = []
+        lat_lock = threading.Lock()
+
+        def denoise_client(seed):
+            r = np.random.default_rng(seed)
+            while time.monotonic() < stop:
+                n = int(r.choice([6000, 8000]))
+                audio = np.clip(
+                    r.standard_normal(n) * 0.2, -0.9, 0.9
+                ).astype(np.float32)
+                t0 = time.perf_counter()
+                try:
+                    body = self._post(f"{url}/denoise", _wav_bytes(audio))
+                except urllib.error.HTTPError as e:
+                    if e.code == 503:
+                        time.sleep(0.05)
+                        continue
+                    errors.append(f"denoise HTTP {e.code}: {e.read()[:200]}")
+                    return
+                except Exception as e:  # dropped connection = dropped req
+                    errors.append(f"denoise {type(e).__name__}: {e}")
+                    return
+                with lat_lock:
+                    latencies.append(time.perf_counter() - t0)
+                from scipy.io import wavfile
+
+                got = wavfile.read(io.BytesIO(body))[1] / 32768.0
+                # every response must be one generation's output — the
+                # identity (rel err vs input small) or the 0.5x gain —
+                # never a blend or garbage
+                rel = [
+                    np.linalg.norm(got[: len(audio)] - g * audio)
+                    / (g * np.linalg.norm(audio))
+                    for g in (1.0, self.GAIN1)
+                ]
+                if min(rel) > 0.15:
+                    errors.append(f"corrupted denoise response: rel={rel}")
+                    return
+
+        def stream_client(seed):
+            r = np.random.default_rng(seed)
+            while time.monotonic() < stop:
+                sig = np.clip(
+                    r.standard_normal(3 * 2048) * 0.3, -1, 1
+                ).astype(np.float32)
+                try:
+                    sid = json.loads(
+                        self._post(f"{url}/stream/start")
+                    )["session"]
+                except urllib.error.HTTPError as e:
+                    if e.code == 503:  # pool full: expected near capacity
+                        time.sleep(0.05)
+                        continue
+                    errors.append(f"start HTTP {e.code}")
+                    return
+                gen_at_open = service.generation
+                chunks = []
+                try:
+                    for i in range(0, len(sig), 1024):
+                        got = self._post(
+                            f"{url}/stream/{sid}",
+                            sig[i: i + 1024].astype("<f4").tobytes(),
+                        )
+                        chunks.append(np.frombuffer(got, "<f4"))
+                    chunks.append(np.frombuffer(
+                        self._post(f"{url}/stream/{sid}/flush"), "<f4"
+                    ))
+                except Exception as e:
+                    errors.append(f"stream {type(e).__name__}: {e}")
+                    return
+                out = np.concatenate(chunks)[: len(sig)]
+                # a session opened on generation g keeps g for its whole
+                # life, even across a mid-stream reload (even gens are the
+                # identity runner, odd gens the 0.5x one)
+                g = 1.0 if gen_at_open % 2 == 0 else self.GAIN1
+                err = np.linalg.norm(out - g * sig) / (g * np.linalg.norm(sig))
+                if err > 0.15:
+                    errors.append(
+                        f"corrupted stream (gen {gen_at_open}): err={err}"
+                    )
+                    return
+
+        threads = [
+            threading.Thread(target=denoise_client, args=(10 + i,))
+            for i in range(3)
+        ] + [
+            threading.Thread(target=stream_client, args=(20 + i,))
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        # fire reloads mid-traffic
+        n_reloads = 0
+        while time.monotonic() < stop - 8.0:
+            time.sleep(8.0)
+            info = json.loads(self._post(f"{url}/admin/reload"))
+            n_reloads += 1
+            assert info["generation"] == n_reloads
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive(), "soak client hung"
+
+        assert not errors, errors[:5]
+        assert n_reloads >= 2, "soak too short to exercise reload under fire"
+        # generation counter: exactly one bump per successful reload
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            h = json.loads(r.read())
+        assert h["model_generation"] == n_reloads
+        assert h["requests_served"] > 0
+        # p99 latency bound over the whole soak, cold compiles included
+        lat = np.sort(latencies)
+        assert len(lat) >= 20, f"only {len(lat)} denoise requests completed"
+        p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
+        assert p99 < 10.0, f"p99 latency {p99:.2f}s"
+        # zero leaked sessions: the stream gauge is 0 and all 3 pool slots
+        # are immediately reusable
+        with urllib.request.urlopen(f"{url}/metrics") as r:
+            metrics = r.read().decode()
+        assert "adt_stream_sessions 0" in metrics, metrics[-400:]
+        sids = [
+            json.loads(self._post(f"{url}/stream/start"))["session"]
+            for _ in range(3)
+        ]
+        for sid in sids:
+            self._post(f"{url}/stream/{sid}/flush")
+
+
 class TestServeCLIArgs:
     def test_mixed_noise_type_accepted(self):
         from audiodenoiser_tpu.cli.serve import parse_args
