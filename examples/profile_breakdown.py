@@ -67,11 +67,21 @@ def conv_flops(b, h, w, cin, cout, k=3):
     return 2 * b * h * w * cin * cout * k * k
 
 
+# v5e-1 roofline constants (same as eval/bench.py)
+PEAK_BF16 = 197e12
+HBM_BW = 819e9
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--clip_seconds", type=float, default=2.0)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--fold", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="profile the BN-folded serving stages "
+                   "(conv+bias+relu, models/folded.py — the production "
+                   "graph); --no-fold profiles live-BN DoubleConv stages")
     args = p.parse_args(argv)
 
     from audiodenoiser_tpu.utils.backend import require_device
@@ -92,8 +102,8 @@ def main(argv=None):
 
     rows = []
 
-    def record(name, dt, fl):
-        rows.append((name, dt, fl))
+    def record(name, dt, fl, by=0):
+        rows.append((name, dt, fl, by))
         print(f"  measured {name}: {dt*1e3:.2f} ms", flush=True)
 
     # --- DSP front/back ends (pallas path, as the TPU bench runs them) ---
@@ -104,14 +114,15 @@ def main(argv=None):
     spec = stft_fn(audio)
     dt = timed(stft_fn, audio, iters=args.iters)
     # real-DFT as matmul: 2 bases x (2 * frames * n_fft * f_bins)
-    record("stft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins)
-
+    record("stft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins,
+           b * (n * 4 + f_bins * t_frames * 8))
     istft_fn = jax.jit(
         lambda s: stft_lib.istft(s, hop, n_fft=n_fft, center=True, length=n,
                                  precision=prec)
     )
     dt = timed(istft_fn, spec, iters=args.iters)
-    record("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins)
+    record("istft (pallas)", dt, 2 * 2 * b * t_frames * n_fft * f_bins,
+           b * (n * 4 + f_bins * t_frames * 8))
 
     # --- U-Net levels at the fused graph's shapes, bf16 like the bench ---
     # every inter-stage glue op is jitted: eager dispatch on the axon
@@ -119,15 +130,37 @@ def main(argv=None):
     # outright for ops the eager helper does not cover)
     mag = jax.jit(lambda s: jnp.abs(s)[..., None].astype(jnp.bfloat16))(spec)
 
+    from audiodenoiser_tpu.models import folded as folded_lib
+
     def dc_stage(name, x, feats):
-        mod = DoubleConv(feats, dtype=jnp.bfloat16)
-        variables = mod.init(jax.random.key(0), x[:1], False)
-        fn = jax.jit(lambda v, y: mod.apply(v, y, False))
-        out = fn(variables, x)
-        dt = timed(fn, variables, x, iters=args.iters)
         h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+        if args.fold:
+            # the production serving stage (models/folded.py): two
+            # conv+bias+relu chains, kernels bf16, biases f32
+            r = np.random.default_rng(hash(name) % 2**31)
+
+            def pk(ci, co):
+                return {
+                    "kernel": jnp.asarray(
+                        r.standard_normal((3, 3, ci, co)) * 0.05, jnp.bfloat16
+                    ),
+                    "bias": jnp.asarray(
+                        r.standard_normal((co,)) * 0.05, jnp.float32
+                    ),
+                }
+
+            params = {"conv0": pk(cin, feats), "conv1": pk(feats, feats)}
+            fn = jax.jit(lambda v, y: folded_lib._double(y, v))
+        else:
+            mod = DoubleConv(feats, dtype=jnp.bfloat16)
+            params = mod.init(jax.random.key(0), x[:1], False)
+            fn = jax.jit(lambda v, y: mod.apply(v, y, False))
+        out = fn(params, x)
+        dt = timed(fn, params, x, iters=args.iters)
         fl = conv_flops(b, h, w, cin, feats) + conv_flops(b, h, w, feats, feats)
-        record(name, dt, fl)
+        # standalone-jit traffic: in + intermediate (write+read) + out
+        by = 2 * b * h * w * (cin + 3 * feats)
+        record(name, dt, fl, by)
         return out
 
     def deconv_stage(name, x, feats):
@@ -140,7 +173,8 @@ def main(argv=None):
         dt = timed(fn, variables, x, iters=args.iters)
         h, w, cin = x.shape[1], x.shape[2], x.shape[3]
         fl = 2 * b * h * w * cin * feats * 4
-        record(name, dt, fl)
+        by = 2 * b * h * w * (cin + 4 * feats)
+        record(name, dt, fl, by)
         return out
 
     pool = jax.jit(
@@ -181,13 +215,31 @@ def main(argv=None):
 
     total = sum(r[1] for r in rows)
     total_fl = sum(r[2] for r in rows)
-    print(f"\n{'stage':<44} {'ms':>8} {'%':>6} {'GFLOP':>9} {'TFLOP/s':>9} {'%peak':>6}")
-    for name, dt, fl in rows:
+    print(f"\n{'stage':<44} {'ms':>8} {'%':>6} {'GFLOP':>9} {'TFLOP/s':>9} "
+          f"{'%peak':>6} {'SOLms':>7} {'xSOL':>6} {'bound':>5}")
+    sol_sum = 0.0
+    for name, dt, fl, by in rows:
+        t_mxu, t_hbm = fl / PEAK_BF16, by / HBM_BW
+        sol = max(t_mxu, t_hbm)
+        sol_sum += sol
+        bound = "HBM" if t_hbm > t_mxu else "MXU"
         print(f"{name:<44} {dt*1e3:8.2f} {100*dt/total:6.1f} {fl/1e9:9.1f} "
-              f"{fl/dt/1e12:9.1f} {100*fl/dt/1e12/197:6.1f}")
+              f"{fl/dt/1e12:9.1f} {100*fl/dt/1e12/PEAK_BF16*1e12:6.1f} "
+              f"{sol*1e3:7.2f} {dt/sol:6.2f} {bound:>5}")
     print(f"{'SUM (standalone stages)':<44} {total*1e3:8.2f} {'':>6} "
           f"{total_fl/1e9:9.1f} {total_fl/total/1e12:9.1f} "
-          f"{100*total_fl/total/1e12/197:6.1f}")
+          f"{100*total_fl/total/1e12/PEAK_BF16*1e12:6.1f} {sol_sum*1e3:7.2f} "
+          f"{total/sol_sum:6.2f}")
+    frames = b * t_frames
+    print(f"\nspeed-of-light wall (per-stage roofline sum, standalone-jit "
+          f"traffic): {sol_sum*1e3:.1f} ms -> {frames/sol_sum:,.0f} frames/s "
+          f"ceiling at batch {b}")
+    print(f"measured standalone sum: {total*1e3:.1f} ms -> "
+          f"{frames/total:,.0f} frames/s ({100*sol_sum/total:.0f}% of SOL); "
+          f"the fused graph shares/fuses inter-stage buffers, so its true "
+          f"ceiling sits between this and the pure-MXU wall "
+          f"{total_fl/PEAK_BF16*1e3:.1f} ms "
+          f"({frames/(total_fl/PEAK_BF16):,.0f} frames/s)")
 
 
 if __name__ == "__main__":
