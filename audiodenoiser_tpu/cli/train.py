@@ -151,6 +151,19 @@ def parse_args(argv=None):
         help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
     )
     ext.add_argument(
+        "--chunk_seconds", type=float, default=2.0,
+        help="on_device pipeline: training-window length in seconds "
+        "(default: the reference's 2 s chunks, "
+        "create_train_dataset.py:21-33). Longer windows give the model "
+        "analysis context past a corruption's time constant — reverb's "
+        "JUCE tail (room_size 0.9) rings past 2 s, so a 4 s window lets "
+        "the network see dry-signal evidence and the late tail of the "
+        "SAME event in one receptive field. The U-Net is fully "
+        "convolutional and the noise kernels are length-generic, so "
+        "checkpoints trained at any window length load everywhere "
+        "(eval/serve/streaming are unaffected).",
+    )
+    ext.add_argument(
         "--snr_min", type=float, default=None,
         help="on_device pipeline: with --snr_max, train with a per-example "
         "uniform SNR curriculum in [snr_min, snr_max] dB instead of the "
@@ -592,6 +605,10 @@ def main(argv=None):
         raise SystemExit("--augment requires --pipeline on_device (the "
                          "augmentations run inside the jitted mixer); the "
                          "precomputed npy pipeline would silently ignore it")
+    if args.chunk_seconds != 2.0 and args.pipeline != "on_device":
+        raise SystemExit("--chunk_seconds requires --pipeline on_device "
+                         "(the npy pipeline's chunking happened at dataset "
+                         "build time)")
 
     if args.pipeline == "npy":
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
@@ -628,7 +645,10 @@ def main(argv=None):
         noise_dir = os.path.join(args.base_dataset_path, "noise")
         if not os.path.isdir(clean_dir):
             clean_dir = args.base_dataset_path
-        chunks = load_clean_chunks(load_wav_list(clean_dir), 8000, 16000)
+        chunk_samples = int(round(8000 * args.chunk_seconds))
+        chunks = load_clean_chunks(
+            load_wav_list(clean_dir), 8000, chunk_samples
+        )
         if args.subset_fraction < 1.0:
             keep = max(1, int(len(chunks) * args.subset_fraction))
             chunks = chunks[:keep]

@@ -565,3 +565,60 @@ class TestNoiseTypeAllEqualsSyntax:
             ("eq_white", "white"), ("eq_urban", "urban"),
             ("eq_reverb", "reverb"), ("eq_noise_cancellation", "noise_cancellation"),
         ]
+
+
+class TestChunkSeconds:
+    """--chunk_seconds (on_device pipeline): longer training windows for
+    corruptions whose time constant exceeds 2 s (reverb's tail)."""
+
+    def test_mixer_and_mask_step_at_4s_window(self):
+        """load_clean_chunks at 32000 samples -> OnDeviceMixer emits
+        (B, 32000) pairs -> a complex_mask train step runs at that shape
+        (the family is fully convolutional; no architecture change)."""
+        import jax
+        import jax.numpy as jnp
+
+        from audiodenoiser_tpu.data import OnDeviceMixer
+        from audiodenoiser_tpu.models.complex_mask import ComplexMaskUNet
+        from audiodenoiser_tpu.train.mask import (
+            create_mask_train_state,
+            make_mask_steps,
+        )
+
+        rng = np.random.default_rng(0)
+        chunks = np.clip(
+            rng.standard_normal((4, 32000)) * 0.2, -1, 1
+        ).astype(np.float32)
+        mixer = OnDeviceMixer(chunks, "reverb")
+        noisy, clean = mixer.sample_audio(jax.random.key(0), 2)
+        assert noisy.shape == clean.shape == (2, 32000)
+        assert np.isfinite(np.asarray(noisy)).all()
+        model = ComplexMaskUNet(features=(4, 8), bottleneck=16)
+        state = create_mask_train_state(jax.random.key(0), model)
+        train_step, _ = make_mask_steps(si_sdr_weight=1.0)
+        state, losses = train_step(state, noisy, clean)
+        assert np.isfinite(float(losses.total))
+
+    def test_cli_rejects_chunk_seconds_on_npy_pipeline(self, tmp_path):
+        from audiodenoiser_tpu.cli.train import main
+
+        with pytest.raises(SystemExit, match="chunk_seconds"):
+            main([
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "white",
+                "--pipeline", "npy",
+                "--chunk_seconds", "4.0",
+            ])
+
+    def test_chunking_at_32000(self, tmp_path):
+        """load_clean_chunks honors a non-default chunk length."""
+        from audiodenoiser_tpu.data.builders import load_clean_chunks
+        from audiodenoiser_tpu.data.wav_io import write_wav
+
+        rng = np.random.default_rng(1)
+        f = tmp_path / "clip.wav"
+        write_wav(str(f), np.clip(
+            rng.standard_normal(70000) * 0.2, -1, 1
+        ).astype(np.float32), 8000)
+        chunks = load_clean_chunks([str(f)], 8000, 32000)
+        assert chunks.shape == (2, 32000)
