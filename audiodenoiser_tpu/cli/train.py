@@ -142,6 +142,17 @@ def parse_args(argv=None):
         "--pp_stages (the 1F1B stage splitter is convolutional-only).",
     )
     ext.add_argument(
+        "--s2d_stem", action="store_true",
+        help="space-to-depth stem + sub-pixel output head: pack 2x2 input "
+        "blocks into channels so the whole first U-Net level runs at half "
+        "spatial resolution (4x fewer level-0 activation bytes — the "
+        "HBM-bound full-res stem is the fused graph's measured residual "
+        "bottleneck). An architecture change (quality re-established per "
+        "recipe, throughput A/B in examples/bench_s2d_stem.py). Recorded "
+        "in the checkpoint sidecar so eval/serve rebuild it. Works with "
+        "both families and --width_mult; not supported with --pp_stages.",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -580,6 +591,7 @@ def main(argv=None):
         use_mesh={"auto": None, "on": True, "off": False}[args.mesh],
         width_mult=args.width_mult,
         attn_bottleneck=args.attn_bottleneck,
+        s2d_stem=args.s2d_stem,
         extra_config=vars(args),
     )
 
@@ -741,6 +753,10 @@ def main(argv=None):
             raise SystemExit("--pp_stages does not support "
                              "--attn_bottleneck (the 1F1B stage splitter "
                              "carries convolutional blocks only)")
+        if args.s2d_stem:
+            raise SystemExit("--pp_stages does not support --s2d_stem "
+                             "(the 1F1B stage splitter assumes the plain "
+                             "full-resolution stem/head)")
         if args.lr_schedule != "constant" or args.ema_decay or args.fsdp:
             raise SystemExit(
                 "--pp_stages supports the constant-LR AdamW path only "
@@ -785,6 +801,8 @@ def main(argv=None):
             mask_meta["width_mult"] = args.width_mult
         if args.attn_bottleneck:
             mask_meta["attn_bottleneck"] = True
+        if args.s2d_stem:
+            mask_meta["s2d_stem"] = True
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         teacher = None
         if args.distill_from:
@@ -804,6 +822,7 @@ def main(argv=None):
                                 residual=residual,
                                 zero_out_init=residual,
                                 attn_bottleneck=args.attn_bottleneck,
+                                s2d_stem=args.s2d_stem,
                                 **width_kwargs(args.width_mult)),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
@@ -817,13 +836,15 @@ def main(argv=None):
                                   distill_feat_weight=args.distill_features),
         )
     elif args.model == "unet" and (
-        args.width_mult != 1.0 or args.attn_bottleneck
+        args.width_mult != 1.0 or args.attn_bottleneck or args.s2d_stem
     ):
         # magnitude-family architecture variants: the loader needs these
         # to rebuild the model (same sidecar flow the mask head uses)
         mask_meta = {"width_mult": args.width_mult}
         if args.attn_bottleneck:
             mask_meta["attn_bottleneck"] = True
+        if args.s2d_stem:
+            mask_meta["s2d_stem"] = True
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)

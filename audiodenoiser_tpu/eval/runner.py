@@ -146,6 +146,8 @@ def load_model_from_path(
         kwargs = width_kwargs(float(meta.get("width_mult", 1.0)))
         if meta.get("attn_bottleneck"):
             kwargs["attn_bottleneck"] = True
+        if meta.get("s2d_stem"):
+            kwargs["s2d_stem"] = True
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 

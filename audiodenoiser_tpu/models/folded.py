@@ -41,6 +41,8 @@ from audiodenoiser_tpu.models.unet import (
     BottleneckAttention,
     UNet,
     _pad_to_match,
+    depth_to_space,
+    space_to_depth,
 )
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -143,13 +145,17 @@ class FoldedUNet:
                  attn_bottleneck: bool = False,
                  attn_heads: int = 4,
                  mask_bound: Optional[float] = None,
-                 mask_residual: bool = False):
+                 mask_residual: bool = False,
+                 s2d_stem: bool = False,
+                 out_channels: int = 1):
         self.features = tuple(features)
         self.dtype = dtype
         self.attn_bottleneck = attn_bottleneck
         self.attn_heads = attn_heads
         self.mask_bound = mask_bound
         self.mask_residual = mask_residual
+        self.s2d_stem = s2d_stem
+        self.out_channels = out_channels
 
     @classmethod
     def from_model(cls, model: UNet) -> "FoldedUNet":
@@ -161,6 +167,8 @@ class FoldedUNet:
             # ComplexMaskUNet carries the tanh mask head; plain UNet doesn't
             mask_bound=getattr(model, "mask_bound", None),
             mask_residual=bool(getattr(model, "residual", False)),
+            s2d_stem=model.s2d_stem,
+            out_channels=model.out_channels,
         )
 
     def apply(self, variables, x: jax.Array, train: bool = False) -> jax.Array:
@@ -170,6 +178,12 @@ class FoldedUNet:
             else variables
         in_dtype = x.dtype
         h = x.astype(self.dtype)
+        if self.s2d_stem:
+            in_h, in_w = h.shape[1], h.shape[2]
+            ph, pw = (-in_h) % 2, (-in_w) % 2
+            if ph or pw:
+                h = jnp.pad(h, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            h = space_to_depth(h)
         skips = []
         for i in range(len(self.features)):
             h = _double(h, v[f"down{i}"])
@@ -185,6 +199,9 @@ class FoldedUNet:
             h = jnp.concatenate([skip, h], axis=-1)
             h = _double(h, v[f"up{i}_conv"])
         h = _conv(h, v["out"], relu=False)
+        if self.s2d_stem:
+            h = depth_to_space(h, self.out_channels)
+            h = h[:, :in_h, :in_w, :]
         if self.mask_bound is not None:
             # ComplexMaskUNet head: M = K tanh(out) (+ identity when
             # residual) — models/complex_mask.py:48-53
@@ -196,7 +213,8 @@ class FoldedUNet:
     def __hash__(self):
         return hash(("FoldedUNet", self.features, str(self.dtype),
                      self.attn_bottleneck, self.attn_heads,
-                     self.mask_bound, self.mask_residual))
+                     self.mask_bound, self.mask_residual,
+                     self.s2d_stem, self.out_channels))
 
     def __eq__(self, other):
         return (isinstance(other, FoldedUNet)
@@ -205,7 +223,9 @@ class FoldedUNet:
                 and self.attn_bottleneck == other.attn_bottleneck
                 and self.attn_heads == other.attn_heads
                 and self.mask_bound == other.mask_bound
-                and self.mask_residual == other.mask_residual)
+                and self.mask_residual == other.mask_residual
+                and self.s2d_stem == other.s2d_stem
+                and self.out_channels == other.out_channels)
 
 
 def fold_runner_inputs(model: UNet, variables,
@@ -224,6 +244,8 @@ def fold_runner_inputs(model: UNet, variables,
             attn_heads=folded_model.attn_heads,
             mask_bound=folded_model.mask_bound,
             mask_residual=folded_model.mask_residual,
+            s2d_stem=folded_model.s2d_stem,
+            out_channels=folded_model.out_channels,
         )
     folded = fold_for_inference(
         variables["params"], variables["batch_stats"],

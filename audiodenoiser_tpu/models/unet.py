@@ -175,6 +175,25 @@ class PallasConvTranspose2x2(nn.Module):
         )
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """NHWC (B, H, W, C) -> (B, H/2, W/2, 4C), 2x2 blocks into channels.
+
+    Channel order is (a, b, c) row-major over the 2x2 phase (a, b) — the
+    exact inverse of :func:`depth_to_space`. H and W must be even."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array, out_channels: int) -> jax.Array:
+    """NHWC (B, H, W, 4*out_channels) -> (B, 2H, 2W, out_channels)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, 2, 2, out_channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, out_channels)
+
+
 def _pad_to_match(x: jax.Array, target: jax.Array) -> jax.Array:
     """Asymmetric zero-pad H/W of ``x`` up to ``target``'s (model.py:44-47)."""
     dy = target.shape[1] - x.shape[1]
@@ -213,11 +232,27 @@ class UNet(nn.Module):
     # block after the bottleneck convs (global context for corruptions
     # with clip-wide structure, e.g. reverb); zero-init projection makes
     # a fresh attention variant forward-identical to the plain U-Net
+    s2d_stem: bool = False  # space-to-depth stem: pack each 2x2 input
+    # block into channels so the whole first U-Net level runs at half
+    # spatial resolution (4x fewer level-0 activation bytes — the
+    # HBM-bound full-resolution cin=1 stem is the measured residual
+    # bottleneck of the fused graph, docs/STATUS.md roofline), and the
+    # output head emits 4*out_channels that depth-to-space unpacks back
+    # to full resolution (sub-pixel head). An architecture change (not
+    # checkpoint-convertible from the plain net): quality must be
+    # re-established per recipe, throughput A/B in
+    # examples/bench_s2d_stem.py
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_dtype = x.dtype
         x = x.astype(self.dtype)
+        if self.s2d_stem:
+            in_h, in_w = x.shape[1], x.shape[2]
+            ph, pw = (-in_h) % 2, (-in_w) % 2
+            if ph or pw:  # odd eval shapes, e.g. (257, T) whole clips
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            x = space_to_depth(x)
         block = (
             nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         )
@@ -252,7 +287,7 @@ class UNet(nn.Module):
             x = block(f, dtype=self.dtype, name=f"up{i}_conv")(x, train)
 
         x = nn.Conv(
-            self.out_channels,
+            self.out_channels * (4 if self.s2d_stem else 1),
             kernel_size=(1, 1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -263,6 +298,9 @@ class UNet(nn.Module):
                 else {}
             ),
         )(x)
+        if self.s2d_stem:
+            x = depth_to_space(x, self.out_channels)
+            x = x[:, :in_h, :in_w, :]
         return x.astype(in_dtype)
 
 

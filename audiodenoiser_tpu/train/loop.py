@@ -194,6 +194,9 @@ class FitConfig:
     attn_bottleneck: bool = False  # insert the residual self-attention
     # block after the bottleneck (models.unet.BottleneckAttention);
     # recorded in the checkpoint sidecar like width_mult
+    s2d_stem: bool = False  # space-to-depth stem + sub-pixel head (the
+    # first U-Net level runs at half spatial resolution); recorded in
+    # the checkpoint sidecar like width_mult
     extra_config: dict = field(default_factory=dict)
 
 
@@ -283,6 +286,7 @@ def fit(
             # only pass when set: keeps the default construction signature
             # stable for callers/tests that substitute a narrower model
             **({"attn_bottleneck": True} if config.attn_bottleneck else {}),
+            **({"s2d_stem": True} if config.s2d_stem else {}),
             **width_kwargs(config.width_mult),
         )
         state = create_train_state(
