@@ -23,7 +23,16 @@ The reference decomposes nothing — its loop is opaque module calls
 (``/root/reference/code/train.py:61-76``), and its per-sample mel-loss
 Python loop (``loss.py:60-65``) would dominate any such profile.
 
+``--per_stage`` adds a second table: each DoubleConv level's standalone
+train-mode forward AND backward (jax.grad wrt params+input of a scalar
+head, BN batch stats mutating like training) at the exact train-step
+shapes, with analytic conv FLOPs (bwd = 2x fwd: dgrad + wgrad) and a
+roofline bound per stage — the backward analogue of
+examples/profile_breakdown.py, used to locate/prove where the measured
+~54%-of-peak backward loses vs the ~69% forward.
+
 Usage: python examples/profile_train_breakdown.py [--batch_size 256]
+       [--per_stage]
 """
 
 from __future__ import annotations
@@ -68,10 +77,66 @@ def _flops(lowerable, *args):
     return None
 
 
+def per_stage_backward(b: int, iters: int):
+    """Forward vs backward wall per DoubleConv level at train shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiodenoiser_tpu.models.unet import DoubleConv
+
+    PEAK, BW = 197e12, 819e9
+    shapes = []  # (name, h, w, cin, feats) at the (256, 64) train crop
+    h, w, cin = 256, 64, 1
+    for i, f in enumerate((64, 128, 256, 512)):
+        shapes.append((f"down{i}", h, w, cin, f))
+        h, w, cin = h // 2, w // 2, f
+    shapes.append(("bottleneck", h, w, 512, 1024))
+    h, w = 32, 8
+    for i, f in enumerate((512, 256, 128, 64)):
+        shapes.append((f"up{i}_conv", h, w, 2 * f, f))
+        h, w = h * 2, w * 2
+
+    rng = np.random.default_rng(0)
+    print(f"\n{'stage':<28} {'fwd ms':>8} {'fwd%pk':>7} {'bwd ms':>8} "
+          f"{'bwd%pk':>7} {'bwdSOL':>7} {'xSOL':>5}")
+    tot_f = tot_b = tot_sol = 0.0
+    for name, h, w, cin, f in shapes:
+        mod = DoubleConv(f, dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.bfloat16)
+        variables = mod.init(jax.random.key(0), x[:1], True)
+
+        def fwd(p_, x_):
+            out, mut = mod.apply(
+                {"params": p_, "batch_stats": variables["batch_stats"]},
+                x_, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32)), mut
+
+        jf = jax.jit(lambda p_, x_: fwd(p_, x_)[0])
+        jb = jax.jit(jax.grad(lambda p_, x_: fwd(p_, x_)[0], argnums=(0, 1)))
+        jf(variables["params"], x), jb(variables["params"], x)
+        tf_ = timed(jf, variables["params"], x, iters=iters)
+        tb = timed(jb, variables["params"], x, iters=iters)
+        fl_fwd = 2 * b * h * w * 9 * (cin * f + f * f)
+        fl_bwd = 2 * fl_fwd  # dgrad + wgrad, each a conv-sized contraction
+        # bwd traffic: read x + both saved activations + both cotangents
+        # (write+read) + write dx — per element 2 B bf16
+        by_bwd = 2 * b * h * w * (2 * cin + 7 * f)
+        sol = max(fl_bwd / PEAK, by_bwd / BW)
+        tot_f, tot_b, tot_sol = tot_f + tf_, tot_b + tb, tot_sol + sol
+        print(f"{name + f' ({cin}->{f}) @{h}x{w}':<28} {tf_*1e3:8.2f} "
+              f"{100*fl_fwd/tf_/PEAK:7.1f} {tb*1e3:8.2f} "
+              f"{100*fl_bwd/tb/PEAK:7.1f} {sol*1e3:7.2f} {tb/sol:5.2f}")
+    print(f"{'SUM':<28} {tot_f*1e3:8.2f} {'':>7} {tot_b*1e3:8.2f} {'':>7} "
+          f"{tot_sol*1e3:7.2f} {tot_b/tot_sol:5.2f}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--per_stage", action="store_true")
     args = p.parse_args(argv)
 
     from audiodenoiser_tpu.utils.backend import require_device
@@ -79,6 +144,10 @@ def main(argv=None):
 
     require_device(who="profile_train_breakdown")
     enable_persistent_cache()
+
+    if args.per_stage:
+        per_stage_backward(args.batch_size, args.iters)
+        return
 
     from audiodenoiser_tpu.losses import combined_perceptual_loss
     from audiodenoiser_tpu.models import UNet
