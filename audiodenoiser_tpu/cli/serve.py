@@ -239,6 +239,8 @@ def main(argv=None):
 
     gen = {"cur": build_generation()}
     g0 = gen["cur"]
+    g0["gen"] = 0  # generation stamp: sessions report the checkpoint
+    # generation they were built from (atomic with the snapshot)
     default_mode = args.mode or (
         "auto" if args.auto_route
         else "complex_mask" if args.model == "complex_mask"
@@ -261,16 +263,19 @@ def main(argv=None):
     from audiodenoiser_tpu.eval.streaming import RoutedStreamingSession
 
     def stream_factory(mode):
-        cur = gen["cur"]  # open sessions keep their generation; new
-        # sessions always bind the latest one
+        cur = gen["cur"]  # ONE atomic snapshot: the session AND its
+        # generation stamp come from the same dict, so a concurrent
+        # reload can never mis-attribute a session (open sessions keep
+        # their generation; new sessions always bind the latest one)
         if cur["mixture"] is not None and mode in (None, "auto"):
             return RoutedStreamingSession(
                 cur["mixture"], chunk_samples=chunk,
                 sample_rate=args.sample_rate, precision=path,
-            )
+            ), cur["gen"]
         if cur["pooled"] is not None:
-            return cur["pooled"].session()  # IndexError when full -> 503
-        return cur["streamer"].session()
+            # IndexError when full -> 503
+            return cur["pooled"].session(), cur["gen"]
+        return cur["streamer"].session(), cur["gen"]
 
     import threading
 
@@ -285,6 +290,7 @@ def main(argv=None):
                 runner=g2["runner"], expert_runners=g2["expert_runners"],
                 router=g2["router"], warmup=not args.no_warmup,
             )
+            g2["gen"] = n
             gen["cur"] = g2
             print(f"Reloaded checkpoints from {args.saved_models_dir} "
                   f"(generation {n})")

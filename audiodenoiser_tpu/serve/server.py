@@ -392,10 +392,15 @@ def make_http_server(
 
     ``stream_factory(mode) -> session`` (a ``StreamingSession`` or
     ``RoutedStreamingSession``) enables the chunked low-latency API
-    (VERDICT r2 next-round #5):
+    (VERDICT r2 next-round #5). A factory may instead return
+    ``(session, generation)`` to stamp each session with the checkpoint
+    generation it was actually built from — the stamp must come from the
+    same atomic snapshot the factory constructed with, NOT from
+    ``service.generation`` read separately (a reload between the two
+    reads mis-attributes the session; cli.serve wires the stamped form):
 
     - ``POST /stream/start[?mode=...]`` -> ``{"session": id,
-      "latency_samples": n, "format": "f32le"}``
+      "generation": g, "latency_samples": n, "format": "f32le"}``
     - ``POST /stream/{id}`` with raw little-endian float32 samples in the
       body -> the finalized denoised samples so far, same format (bounded
       latency: one WOLA chunk of lookahead);
@@ -499,6 +504,10 @@ def make_http_server(
                 # session it built (releasing any pool slot).
                 try:
                     sess = stream_factory(mode)
+                    if isinstance(sess, tuple):  # generation-stamped form
+                        sess, sess_gen = sess
+                    else:  # plain factories (incl. stub services in tests)
+                        sess_gen = getattr(service, "generation", 0)
                 except IndexError as e:
                     # a pooled factory signals slot exhaustion this way
                     # (PooledStreamSessions over a full MultiStreamWola)
@@ -528,6 +537,7 @@ def make_http_server(
                     )
                 info = {
                     "session": sid,
+                    "generation": sess_gen,
                     "latency_samples": int(
                         getattr(sess, "latency_samples", 0)
                     ),

@@ -89,9 +89,9 @@ def main(argv=None):
     runner0 = build_generation(0)
     service = DenoiseService(runner0, bucket_samples=16000,
                              max_seconds=10.0, warmup=True)
-    pools = {"cur": PooledStreamSessions(
+    pools = {"cur": {"pool": PooledStreamSessions(
         MultiStreamWola(runner0, capacity=args.pool, chunk_samples=8000)
-    )}
+    ), "gen": 0}}
     gen_seed = {"n": 0}
     reload_lock = threading.Lock()
 
@@ -99,15 +99,22 @@ def main(argv=None):
         with reload_lock:
             gen_seed["n"] += 1
             nxt = build_generation(gen_seed["n"])
-            pools["cur"] = PooledStreamSessions(
+            pool = PooledStreamSessions(
                 MultiStreamWola(nxt, capacity=args.pool, chunk_samples=8000)
             )
             n = service.reload(runner=nxt, warmup=True)
+            # atomic snapshot swap (session + generation stamp agree),
+            # same wiring as cli.serve
+            pools["cur"] = {"pool": pool, "gen": n}
             return {"generation": n}
+
+    def stream_factory(mode):
+        cur = pools["cur"]
+        return cur["pool"].session(), cur["gen"]
 
     server = make_http_server(
         service, "127.0.0.1", 0,
-        stream_factory=lambda mode: pools["cur"].session(),
+        stream_factory=stream_factory,
         stream_ttl=600.0, reload_fn=reload_fn,
     )
     port = server.server_address[1]

@@ -523,23 +523,30 @@ class TestServeSoak:
                                  max_seconds=10.0)
         # generation-aware stream factory, as cli.serve wires it: new
         # sessions ride the current pool; open sessions keep theirs
-        pools = {"cur": PooledStreamSessions(
+        pools = {"cur": {"pool": PooledStreamSessions(
             MultiStreamWola(runners[0], capacity=3, chunk_samples=2048)
-        )}
+        ), "gen": 0}}
         reloads = {"n": 0}
 
         def reload_fn():
             nxt = runners[(reloads["n"] + 1) % 2]
-            pools["cur"] = PooledStreamSessions(
+            pool = PooledStreamSessions(
                 MultiStreamWola(nxt, capacity=3, chunk_samples=2048)
             )
             n = service.reload(runner=nxt)
+            # one atomic snapshot swap: session + generation stamp always
+            # agree, exactly as cli.serve wires it
+            pools["cur"] = {"pool": pool, "gen": n}
             reloads["n"] += 1
             return {"generation": n}
 
+        def stream_factory(mode):
+            cur = pools["cur"]
+            return cur["pool"].session(), cur["gen"]
+
         server = make_http_server(
             service, "127.0.0.1", 0,
-            stream_factory=lambda mode: pools["cur"].session(),
+            stream_factory=stream_factory,
             stream_ttl=600.0, reload_fn=reload_fn,
         )
         port = server.server_address[1]
@@ -604,16 +611,20 @@ class TestServeSoak:
                     r.standard_normal(3 * 2048) * 0.3, -1, 1
                 ).astype(np.float32)
                 try:
-                    sid = json.loads(
-                        self._post(f"{url}/stream/start")
-                    )["session"]
+                    started = json.loads(self._post(f"{url}/stream/start"))
+                    sid = started["session"]
                 except urllib.error.HTTPError as e:
                     if e.code == 503:  # pool full: expected near capacity
                         time.sleep(0.05)
                         continue
                     errors.append(f"start HTTP {e.code}")
                     return
-                gen_at_open = service.generation
+                # the server reports the generation the session was BUILT
+                # from (atomic with the snapshot) — reading
+                # service.generation here instead raced with mid-start
+                # reloads and mis-attributed sessions (measured: exact
+                # err=0.5/1.0 gain mismatches in the soak)
+                gen_at_open = started["generation"]
                 chunks = []
                 try:
                     for i in range(0, len(sig), 1024):
