@@ -20,7 +20,8 @@ import time
 def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20,
               warmup: int = 3, mode: str = "noisy_phase",
               pipelined: bool = True, width_mult: float = 1.0,
-              pallas_deconv: bool = False, fold: bool = True) -> dict:
+              pallas_deconv: bool = False, fold: bool = True,
+              s2d: bool = False) -> dict:
     """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
     smaller-HBM devices/backends the default must degrade instead of
     crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
@@ -28,7 +29,7 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
         try:
             return _run_bench_once(batch_size, clip_seconds, iters, warmup,
                                    mode, pipelined, width_mult,
-                                   pallas_deconv, fold)
+                                   pallas_deconv, fold, s2d)
         except Exception as e:
             # the axon relay wraps AOT-compile OOM as INTERNAL with this
             # wording, not RESOURCE_EXHAUSTED (measured round 3)
@@ -45,7 +46,8 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
                     warmup: int, mode: str, pipelined: bool,
                     width_mult: float = 1.0,
                     pallas_deconv: bool = False,
-                    fold: bool = True) -> dict:
+                    fold: bool = True,
+                    s2d: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,6 +63,10 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
     wkw = width_kwargs(width_mult)
     if pallas_deconv:
         wkw["pallas_deconv"] = True
+    if s2d:
+        # the --s2d_stem efficiency tier (models/unet.py): measured 3.07x
+        # fused throughput at -0.3..-1.0 dB per cell (WORKFLOW_RUN r4)
+        wkw["s2d_stem"] = True
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
@@ -353,6 +359,9 @@ def main(argv=None):
     p.add_argument("--no_student", action="store_true",
                    help="skip the compact-student (width 0.25) throughput "
                    "measurement")
+    p.add_argument("--no_s2d", action="store_true",
+                   help="skip the space-to-depth-stem tier throughput "
+                   "measurement (--s2d_stem family, 3.07x at -0.7 dB avg)")
     p.add_argument("--width_mult", type=float, default=1.0,
                    help="benchmark a width-scaled compact student instead "
                    "of the reference 31M-param architecture")
@@ -388,6 +397,16 @@ def main(argv=None):
                             pipelined=not args.latency, width_mult=0.25)
         result["student_width_mult"] = 0.25
         result["student_frames_per_sec"] = student["value"]
+    if not args.no_s2d and args.width_mult == 1.0:
+        # the s2d efficiency tier beside the flagship number (equal
+        # params, half-res pyramid; quality table in WORKFLOW_RUN r4)
+        s2d = run_bench(args.batch_size, args.clip_seconds,
+                        max(5, args.iters // 2), mode=args.mode,
+                        pipelined=not args.latency, fold=args.fold,
+                        s2d=True)
+        result["s2d_frames_per_sec"] = s2d["value"]
+        if "infer_pct_bf16_peak" in s2d:
+            result["s2d_pct_bf16_peak"] = s2d["infer_pct_bf16_peak"]
     print(json.dumps(result))
 
 
