@@ -168,6 +168,8 @@ class StreamingSession:
             jnp.zeros(parent.hop, jnp.float32),  # overlap-add carry
         )
         self._drop = parent.hop  # lead-in samples still to swallow
+        self._fed = 0  # real input samples fed (flush padding excluded)
+        self._emitted = 0  # output samples returned so far
 
     @property
     def latency_samples(self) -> int:
@@ -175,10 +177,13 @@ class StreamingSession:
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed samples; returns whatever denoised audio is finalized."""
+        samples = np.asarray(samples, np.float32).ravel()
+        self._fed += samples.size
+        return self._advance(samples)
+
+    def _advance(self, samples: np.ndarray) -> np.ndarray:
         p = self.p
-        self._staging = np.concatenate(
-            [self._staging, np.asarray(samples, np.float32).ravel()]
-        )
+        self._staging = np.concatenate([self._staging, samples])
         k = len(self._staging) // p.hop
         if k == 0:
             return np.zeros(0, np.float32)
@@ -191,11 +196,18 @@ class StreamingSession:
             d = min(self._drop, len(out))
             out = out[d:]
             self._drop -= d
+        # a flushed stream is sample-exact: never emit past the fed count
+        # (the OLA tail past the stream end is the window's silence decay,
+        # not signal — the offline denoise() trims it the same way)
+        out = out[: max(0, self._fed - self._emitted)]
+        self._emitted += len(out)
         return out
 
     def flush(self) -> np.ndarray:
-        """Pad with silence to flush buffered audio; returns the tail."""
-        return self.process(np.zeros(self.p.chunk, np.float32))
+        """Pad with silence to emit the buffered tail; sample-exact: after
+        flush the total output length equals the total input length (the
+        padding is NOT counted as fed, and emission is clamped to fed)."""
+        return self._advance(np.zeros(self.p.chunk, np.float32))
 
 
 class LowLatencyStreamingDenoiser:
@@ -342,16 +354,21 @@ class LowLatencyStreamingSession:
             jnp.zeros(parent.xfade, jnp.float32),
         )
         self._drop = parent.lookahead + parent.xfade
+        self._fed = 0
+        self._emitted = 0
 
     @property
     def latency_samples(self) -> int:
         return self.p.latency_samples
 
     def process(self, samples: np.ndarray) -> np.ndarray:
+        samples = np.asarray(samples, np.float32).ravel()
+        self._fed += samples.size
+        return self._advance(samples)
+
+    def _advance(self, samples: np.ndarray) -> np.ndarray:
         p = self.p
-        self._staging = np.concatenate(
-            [self._staging, np.asarray(samples, np.float32).ravel()]
-        )
+        self._staging = np.concatenate([self._staging, samples])
         k = len(self._staging) // p.hop
         if k == 0:
             return np.zeros(0, np.float32)
@@ -364,14 +381,17 @@ class LowLatencyStreamingSession:
             d = min(self._drop, len(out))
             out = out[d:]
             self._drop -= d
+        out = out[: max(0, self._fed - self._emitted)]  # sample-exact
+        self._emitted += len(out)
         return out
 
     def flush(self) -> np.ndarray:
-        """Pad with silence to flush buffered audio; returns the tail."""
+        """Pad with silence to emit the buffered tail; sample-exact (total
+        output == total input; the padding is not counted as fed)."""
         p = self.p
         need = len(self._staging) + p.lookahead + p.xfade + p.hop
         pad = int(np.ceil(need / p.hop)) * p.hop - len(self._staging)
-        return self.process(np.zeros(pad, np.float32))
+        return self._advance(np.zeros(pad, np.float32))
 
 
 class RoutedStreamingSession:
@@ -478,6 +498,8 @@ class RoutedStreamingSession:
         self._inner._state = old._state
         self._inner._staging = old._staging
         self._inner._drop = old._drop
+        self._inner._fed = old._fed
+        self._inner._emitted = old._emitted
         self._label = label
         self.chosen = NOISE_CLASSES[label]
         self.switches += 1
@@ -502,9 +524,21 @@ class RoutedStreamingSession:
 
     def flush(self) -> np.ndarray:
         if self._inner is None and len(self._buffer):
-            # short stream: force routing on whatever arrived (zero-padded)
-            pad = np.zeros(self.chunk, np.float32)
-            return self.process(pad)
+            # short stream: route on the zero-padded buffer, but feed the
+            # inner session only the REAL samples so its sample-exact flush
+            # accounting holds (total output == total real input)
+            from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+            padded = np.concatenate(
+                [self._buffer, np.zeros(self.chunk, np.float32)]
+            )[: self.chunk]
+            label = self._classify_chunk(padded)
+            self._label = label
+            self.chosen = NOISE_CLASSES[label]
+            self._inner = self._streamer_for(label).session()
+            buffered, self._buffer = self._buffer, np.zeros(0, np.float32)
+            head = self._inner.process(buffered)
+            return np.concatenate([head, self._inner.flush()])
         if self._inner is None:
             return np.zeros(0, np.float32)
         return self._inner.flush()
@@ -568,6 +602,8 @@ class MultiStreamWola:
         )
         self._staging = [np.zeros(0, np.float32) for _ in range(capacity)]
         self._drop = [0] * capacity
+        self._fed = [0] * capacity  # real samples fed (flush pad excluded)
+        self._emitted = [0] * capacity
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()
 
@@ -583,6 +619,8 @@ class MultiStreamWola:
         self._active.add(slot)
         self._staging[slot] = np.zeros(0, np.float32)
         self._drop[slot] = self.hop  # silent lead-in, as StreamingSession
+        self._fed[slot] = 0
+        self._emitted[slot] = 0
         self._state = self._reset_slot(self._state, jnp.int32(slot))
         return slot
 
@@ -629,6 +667,12 @@ class MultiStreamWola:
 
     def stage(self, slot: int, samples: np.ndarray) -> None:
         """Buffer samples for a slot without advancing (host-only, fast)."""
+        samples = np.asarray(samples, np.float32).ravel()
+        self._stage_silent(slot, samples)
+        self._fed[slot] += samples.size
+
+    def _stage_silent(self, slot: int, samples: np.ndarray) -> None:
+        """Stage without counting toward the slot's fed total (flush pad)."""
         if slot not in self._active:
             raise KeyError(f"slot {slot} is not open")
         self._staging[slot] = np.concatenate(
@@ -680,6 +724,10 @@ class MultiStreamWola:
                         d = min(self._drop[s], len(out))
                         out = out[d:]
                         self._drop[s] -= d
+                    # sample-exact (as StreamingSession): never emit past
+                    # the slot's fed count — flush-pad ringing is trimmed
+                    out = out[: max(0, self._fed[s] - self._emitted[s])]
+                    self._emitted[s] += len(out)
                     if len(out):
                         emitted.setdefault(s, []).append(out)
             k_total = max(counts.values(), default=0)
@@ -700,8 +748,13 @@ class MultiStreamWola:
         return out
 
     def flush(self, slot: int) -> np.ndarray:
-        """Pad one stream with silence to emit its buffered tail."""
-        out = self.process({slot: np.zeros(self.chunk, np.float32)})
+        """Pad one stream with silence to emit its buffered tail.
+
+        Sample-exact: the padding is not counted as fed, and `_run` clamps
+        emission to the fed total, so a flushed slot has emitted exactly as
+        many samples as were staged on it."""
+        self._stage_silent(slot, np.zeros(self.chunk, np.float32))
+        out = self._run(self._consume())
         return out.get(slot, np.zeros(0, np.float32))
 
 
@@ -851,6 +904,10 @@ class PooledSession:
             raise RuntimeError("session closed")
         with p._stage_lock:
             p.pool.stage(self.slot, samples)
+        return self._advance()
+
+    def _advance(self) -> np.ndarray:
+        p = self.parent
         with p._advance_lock:
             with p._stage_lock:
                 # a concurrent advance may have already emitted my hops
@@ -866,7 +923,16 @@ class PooledSession:
             return ready
 
     def flush(self) -> np.ndarray:
-        out = self.process(np.zeros(self.parent.pool.chunk, np.float32))
+        """Emit the tail and close. Sample-exact: the silence pad is staged
+        uncounted, so the session's total output equals its total input."""
+        p = self.parent
+        if self._closed:
+            raise RuntimeError("session closed")
+        with p._stage_lock:
+            p.pool._stage_silent(
+                self.slot, np.zeros(p.pool.chunk, np.float32)
+            )
+        out = self._advance()
         self.close()
         return out
 

@@ -86,12 +86,24 @@ def main(argv=None):
         precision = "pallas" if jax.default_backend() == "tpu" else "fft"
         return DenoiserRunner(model, variables, precision=precision)
 
+    def warm_pool(pool: PooledStreamSessions) -> None:
+        # compile the pooled advance + flush graphs BEFORE traffic (or a
+        # generation swap) can hit them: the first soak shakedown showed
+        # cold pooled compiles through the relay exceeding the clients'
+        # 120 s HTTP timeout, silently killing every stream client
+        sess = pool.session()
+        sess.process(np.zeros(8000, np.float32))
+        sess.flush()
+        sess.close()
+
     runner0 = build_generation(0)
     service = DenoiseService(runner0, bucket_samples=16000,
                              max_seconds=10.0, warmup=True)
-    pools = {"cur": {"pool": PooledStreamSessions(
+    pool0 = PooledStreamSessions(
         MultiStreamWola(runner0, capacity=args.pool, chunk_samples=8000)
-    ), "gen": 0}}
+    )
+    warm_pool(pool0)
+    pools = {"cur": {"pool": pool0, "gen": 0}}
     gen_seed = {"n": 0}
     reload_lock = threading.Lock()
 
@@ -102,6 +114,7 @@ def main(argv=None):
             pool = PooledStreamSessions(
                 MultiStreamWola(nxt, capacity=args.pool, chunk_samples=8000)
             )
+            warm_pool(pool)  # new generation must be hot before publishing
             n = service.reload(runner=nxt, warmup=True)
             # atomic snapshot swap (session + generation stamp agree),
             # same wiring as cli.serve
@@ -187,6 +200,10 @@ def main(argv=None):
                 with lock:
                     errors.append(f"start HTTP {e.code}")
                 return
+            except Exception as e:  # timeouts/conn errors must be COUNTED,
+                with lock:          # not die silently out of the thread
+                    errors.append(f"start {type(e).__name__}: {e}")
+                return
             got = 0
             try:
                 for i in range(0, len(sig), 8000):
@@ -268,6 +285,7 @@ def main(argv=None):
           f"{drift:+.1f} MB/min")
     print(f"stream gauge at end  {gauge[-1] if gauge else 'n/a'}")
     ok = (not errors and health["model_generation"] == n_reloads
+          and counts["denoise"] > 0 and counts["stream_clips"] > 0
           and (not gauge or gauge[-1].endswith(" 0")))
     print(f"SOAK {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1

@@ -152,6 +152,32 @@ class TestLifecycle:
         pool.close(a)
         assert pool.open() == a
 
+    @pytest.mark.parametrize("n", [4 * CHUNK, CHUNK + HOP // 2, HOP - 3])
+    def test_flush_is_sample_exact(self, tiny_runner, n):
+        """A flushed slot emits EXACTLY as many samples as were staged —
+        the contract HTTP stream clients count on (the round-4 production
+        soak failed on a +hop surplus per stream before this was pinned)."""
+        sig = _signals(1, n, seed=9)[0]
+        pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)
+        a = pool.open()
+        got = [pool.process({a: sig})[a], pool.flush(a)]
+        assert len(np.concatenate(got)) == n
+        assert len(pool.flush(a)) == 0  # nothing left
+
+    def test_pooled_session_flush_is_sample_exact(self, tiny_runner):
+        from audiodenoiser_tpu.eval.streaming import PooledStreamSessions
+
+        pool = PooledStreamSessions(
+            MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        )
+        n = 3 * CHUNK + 100
+        sig = _signals(1, n, seed=11)[0]
+        sess = pool.session()
+        pieces = [sess.process(sig[i: i + HOP])
+                  for i in range(0, n, HOP)]
+        pieces.append(sess.flush())
+        assert len(np.concatenate(pieces)) == n
+
     def test_flush_emits_tail(self, tiny_runner):
         sig = _signals(1, CHUNK + HOP // 2, seed=4)[0]
         pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)

@@ -115,6 +115,43 @@ class TestOnline:
         assert calls == [(4, sd.hop)]
         assert len(out) == 3 * sd.hop  # 4 hops finalized minus the lead-in
 
+    @pytest.mark.parametrize("n", [9000, 2048, 1500, 700, 4096])
+    def test_flush_is_sample_exact(self, identity_streamer, rng, n):
+        """A flushed session emits EXACTLY as many samples as were fed —
+        the OLA tail past the stream end is trimmed (same contract as the
+        offline denoise()); this is what HTTP stream clients count on
+        (the round-4 soak failed on a +hop surplus before this was
+        pinned)."""
+        x = np.clip(rng.standard_normal(n) * 0.2, -1, 1).astype(np.float32)
+        sess = identity_streamer.session()
+        pieces = [sess.process(p) for p in np.array_split(x, 7)]
+        pieces.append(sess.flush())
+        y = np.concatenate(pieces)
+        assert len(y) == n
+        np.testing.assert_allclose(y, x, atol=2e-3)
+        assert len(sess.flush()) == 0  # idempotent: nothing left
+
+    def test_low_latency_flush_is_sample_exact(self, rng):
+        from audiodenoiser_tpu.eval.streaming import (
+            LowLatencyStreamingDenoiser,
+        )
+
+        runner = DenoiserRunner(_IdentityNet(), {})
+        sd = LowLatencyStreamingDenoiser(
+            runner, window_samples=2048, hop_samples=512,
+            lookahead_samples=256, xfade_samples=128,
+        )
+        x = np.clip(rng.standard_normal(3000) * 0.2, -1, 1).astype(
+            np.float32
+        )
+        sess = sd.session()
+        pieces = [sess.process(p) for p in np.array_split(x, 5)]
+        pieces.append(sess.flush())
+        y = np.concatenate(pieces)
+        assert len(y) == len(x)
+        np.testing.assert_allclose(y, x, atol=2e-3)
+        assert len(sess.flush()) == 0
+
     def test_emission_rate(self, identity_streamer, rng):
         """After priming, each hop of input yields a hop of output."""
         sess = identity_streamer.session()
