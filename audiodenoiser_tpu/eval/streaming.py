@@ -170,6 +170,7 @@ class StreamingSession:
         self._drop = parent.hop  # lead-in samples still to swallow
         self._fed = 0  # real input samples fed (flush padding excluded)
         self._emitted = 0  # output samples returned so far
+        self._flushed = False
 
     @property
     def latency_samples(self) -> int:
@@ -177,6 +178,12 @@ class StreamingSession:
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed samples; returns whatever denoised audio is finalized."""
+        if self._flushed:
+            # the WOLA state is contaminated by the flush silence pad —
+            # further output would be pad decay crossfaded into the new
+            # input, length-correct but wrong. Terminal, like a closed
+            # PooledSession.
+            raise RuntimeError("session is flushed; open a new session")
         samples = np.asarray(samples, np.float32).ravel()
         self._fed += samples.size
         return self._advance(samples)
@@ -206,7 +213,12 @@ class StreamingSession:
     def flush(self) -> np.ndarray:
         """Pad with silence to emit the buffered tail; sample-exact: after
         flush the total output length equals the total input length (the
-        padding is NOT counted as fed, and emission is clamped to fed)."""
+        padding is NOT counted as fed, and emission is clamped to fed).
+        Flushing ends the session: a second flush returns empty, and
+        ``process()`` raises."""
+        if self._flushed:
+            return np.zeros(0, np.float32)
+        self._flushed = True
         return self._advance(np.zeros(self.p.chunk, np.float32))
 
 
@@ -356,12 +368,16 @@ class LowLatencyStreamingSession:
         self._drop = parent.lookahead + parent.xfade
         self._fed = 0
         self._emitted = 0
+        self._flushed = False
 
     @property
     def latency_samples(self) -> int:
         return self.p.latency_samples
 
     def process(self, samples: np.ndarray) -> np.ndarray:
+        if self._flushed:
+            # rolling window + crossfade tail now hold flush-pad decay
+            raise RuntimeError("session is flushed; open a new session")
         samples = np.asarray(samples, np.float32).ravel()
         self._fed += samples.size
         return self._advance(samples)
@@ -387,7 +403,11 @@ class LowLatencyStreamingSession:
 
     def flush(self) -> np.ndarray:
         """Pad with silence to emit the buffered tail; sample-exact (total
-        output == total input; the padding is not counted as fed)."""
+        output == total input; the padding is not counted as fed). Ends
+        the session: a second flush returns empty, ``process()`` raises."""
+        if self._flushed:
+            return np.zeros(0, np.float32)
+        self._flushed = True
         p = self.p
         need = len(self._staging) + p.lookahead + p.xfade + p.hop
         pad = int(np.ceil(need / p.hop)) * p.hop - len(self._staging)
@@ -504,6 +524,23 @@ class RoutedStreamingSession:
         self.chosen = NOISE_CLASSES[label]
         self.switches += 1
 
+    def _route(
+        self, chunk_for_classify: np.ndarray, buffered: np.ndarray
+    ) -> np.ndarray:
+        """Classify, open the chosen specialist's session, and hand it the
+        buffered samples. Single routing path for :meth:`process` and the
+        short-stream branch of :meth:`flush` (the two copies had already
+        drifted once: only one maintained ``_recent``)."""
+        from audiodenoiser_tpu.models.router import NOISE_CLASSES
+
+        label = self._classify_chunk(chunk_for_classify)
+        self._label = label
+        self.chosen = NOISE_CLASSES[label]
+        self._inner = self._streamer_for(label).session()
+        self._recent = buffered[-self.chunk:]
+        self._buffer = np.zeros(0, np.float32)
+        return self._inner.process(buffered)
+
     def process(self, samples: np.ndarray) -> np.ndarray:
         samples = np.asarray(samples, np.float32).ravel()
         if self._inner is not None:
@@ -512,32 +549,17 @@ class RoutedStreamingSession:
         self._buffer = np.concatenate([self._buffer, samples])
         if len(self._buffer) < self.chunk:
             return np.zeros(0, np.float32)
-        from audiodenoiser_tpu.models.router import NOISE_CLASSES
-
-        label = self._classify_chunk(self._buffer[: self.chunk])
-        self._label = label
-        self.chosen = NOISE_CLASSES[label]
-        self._inner = self._streamer_for(label).session()
-        self._recent = self._buffer[-self.chunk:]
-        buffered, self._buffer = self._buffer, np.zeros(0, np.float32)
-        return self._inner.process(buffered)
+        return self._route(self._buffer[: self.chunk], self._buffer)
 
     def flush(self) -> np.ndarray:
         if self._inner is None and len(self._buffer):
             # short stream: route on the zero-padded buffer, but feed the
             # inner session only the REAL samples so its sample-exact flush
             # accounting holds (total output == total real input)
-            from audiodenoiser_tpu.models.router import NOISE_CLASSES
-
             padded = np.concatenate(
                 [self._buffer, np.zeros(self.chunk, np.float32)]
             )[: self.chunk]
-            label = self._classify_chunk(padded)
-            self._label = label
-            self.chosen = NOISE_CLASSES[label]
-            self._inner = self._streamer_for(label).session()
-            buffered, self._buffer = self._buffer, np.zeros(0, np.float32)
-            head = self._inner.process(buffered)
+            head = self._route(padded, self._buffer)
             return np.concatenate([head, self._inner.flush()])
         if self._inner is None:
             return np.zeros(0, np.float32)
@@ -604,6 +626,7 @@ class MultiStreamWola:
         self._drop = [0] * capacity
         self._fed = [0] * capacity  # real samples fed (flush pad excluded)
         self._emitted = [0] * capacity
+        self._slot_flushed = [False] * capacity
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()
 
@@ -621,6 +644,7 @@ class MultiStreamWola:
         self._drop[slot] = self.hop  # silent lead-in, as StreamingSession
         self._fed[slot] = 0
         self._emitted[slot] = 0
+        self._slot_flushed[slot] = False
         self._state = self._reset_slot(self._state, jnp.int32(slot))
         return slot
 
@@ -667,6 +691,12 @@ class MultiStreamWola:
 
     def stage(self, slot: int, samples: np.ndarray) -> None:
         """Buffer samples for a slot without advancing (host-only, fast)."""
+        if slot < len(self._slot_flushed) and self._slot_flushed[slot]:
+            # flushed WOLA state is contaminated by the silence pad — new
+            # audio would crossfade with pad decay. Reopen via close()+open()
+            raise RuntimeError(
+                f"slot {slot} is flushed; close it and open a new one"
+            )
         samples = np.asarray(samples, np.float32).ravel()
         self._stage_silent(slot, samples)
         self._fed[slot] += samples.size
@@ -679,15 +709,22 @@ class MultiStreamWola:
             [self._staging[slot], np.asarray(samples, np.float32).ravel()]
         )
 
-    def _consume(self) -> dict[int, np.ndarray]:
+    def _consume(self, only: int | None = None) -> dict[int, np.ndarray]:
         """Pop every fully-staged hop per slot (host-only, fast).
 
         Split from :meth:`_run` so a thread-safe wrapper can hold its
         staging lock only here, letting other threads stage while the
         device advance of a previous batch is still in flight — that is
-        what coalesces concurrent sessions into one dispatch."""
+        what coalesces concurrent sessions into one dispatch.
+
+        ``only`` restricts consumption to one slot — :meth:`flush` uses it
+        so flushing slot A never consumes (and silently discards) other
+        slots' staged-but-unreturned hops."""
         taken = {}
-        for s in self._active:
+        slots = self._active if only is None else (
+            [only] if only in self._active else []
+        )
+        for s in slots:
             k = len(self._staging[s]) // self.hop
             if k:
                 taken[s] = self._staging[s][: k * self.hop].reshape(
@@ -752,9 +789,16 @@ class MultiStreamWola:
 
         Sample-exact: the padding is not counted as fed, and `_run` clamps
         emission to the fed total, so a flushed slot has emitted exactly as
-        many samples as were staged on it."""
+        many samples as were staged on it. Only THIS slot's staged hops are
+        consumed (other slots' backlogs stay staged for the next tick — a
+        pool-wide advance here would drop their emissions on the floor).
+        A second flush returns empty; further ``stage()`` on the slot
+        raises until it is closed and reopened."""
+        if self._slot_flushed[slot]:
+            return np.zeros(0, np.float32)
         self._stage_silent(slot, np.zeros(self.chunk, np.float32))
-        out = self._run(self._consume())
+        self._slot_flushed[slot] = True
+        out = self._run(self._consume(only=slot))
         return out.get(slot, np.zeros(0, np.float32))
 
 

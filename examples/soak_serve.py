@@ -122,6 +122,12 @@ def main(argv=None):
             return {"generation": n}
 
     def stream_factory(mode):
+        # Benign race: this single dict read is atomic under the GIL, so the
+        # (pool, gen) snapshot is always internally consistent — but a session
+        # may be handed out from the OLD generation just after reload_fn
+        # publishes the new one. The soak only asserts session/generation
+        # AGREEMENT (stamped pair), never freshness, so this is acceptable;
+        # take reload_lock here if freshness ever matters.
         cur = pools["cur"]
         return cur["pool"].session(), cur["gen"]
 

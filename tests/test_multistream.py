@@ -178,6 +178,47 @@ class TestLifecycle:
         pieces.append(sess.flush())
         assert len(np.concatenate(pieces)) == n
 
+    def test_flush_is_terminal_per_slot(self, tiny_runner):
+        """A flushed slot's WOLA state holds flush-pad decay — further
+        stage() must raise (reopen via close()+open()), and a second
+        flush returns empty."""
+        pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)
+        a = pool.open()
+        pool.process({a: _signals(1, CHUNK, seed=5)[0]})
+        pool.flush(a)
+        assert len(pool.flush(a)) == 0
+        with pytest.raises(RuntimeError, match="flushed"):
+            pool.stage(a, np.zeros(HOP, np.float32))
+        pool.close(a)
+        b = pool.open()
+        assert b == a  # reopened slot is usable again
+        out = pool.process({b: _signals(1, CHUNK, seed=6)[0]})
+        assert np.all(np.isfinite(out[b]))
+
+    def test_flush_does_not_consume_other_slots(self, tiny_runner):
+        """flush(A) must advance ONLY slot A: slot B's staged-but-unrun
+        hops stay staged (a pool-wide advance would emit B's audio into a
+        dict flush() throws away — unrecoverable data loss). B's total
+        stream must still match a dedicated single session."""
+        sigs = _signals(2, 2 * CHUNK, seed=7)
+        pool = MultiStreamWola(tiny_runner, capacity=2, chunk_samples=CHUNK)
+        a, b = pool.open(), pool.open()
+        out = pool.process({a: sigs[0][:CHUNK], b: sigs[1][:CHUNK]})
+        got_a = [out[a], ]
+        got_b = [out[b], ]
+        # stage a full hop on B, then flush A without running B's backlog
+        pool.stage(b, sigs[1][CHUNK: CHUNK + HOP])
+        got_a.append(pool.flush(a))
+        assert len(np.concatenate(got_a)) == CHUNK  # A is sample-exact
+        # B continues: drain the rest and flush — nothing was lost
+        got_b.append(pool.process({b: sigs[1][CHUNK + HOP:]})[b])
+        got_b.append(pool.flush(b))
+        y_b = np.concatenate(got_b)
+        assert len(y_b) == len(sigs[1])  # B is still sample-exact
+        ref_sess = StreamingDenoiser(tiny_runner, chunk_samples=CHUNK).session()
+        ref = np.concatenate([ref_sess.process(sigs[1]), ref_sess.flush()])
+        np.testing.assert_allclose(y_b, ref, rtol=0, atol=1e-5)
+
     def test_flush_emits_tail(self, tiny_runner):
         sig = _signals(1, CHUNK + HOP // 2, seed=4)[0]
         pool = MultiStreamWola(tiny_runner, capacity=1, chunk_samples=CHUNK)

@@ -131,6 +131,37 @@ class TestOnline:
         np.testing.assert_allclose(y, x, atol=2e-3)
         assert len(sess.flush()) == 0  # idempotent: nothing left
 
+    def test_flush_is_terminal(self, identity_streamer, rng):
+        """flush() ends the session: the WOLA state is contaminated by the
+        flush silence pad, so a further process() would return
+        length-correct but WRONG audio (pad decay crossfaded with the new
+        input). Misuse must raise, not silently corrupt."""
+        sess = identity_streamer.session()
+        x = np.clip(rng.standard_normal(4096) * 0.2, -1, 1).astype(np.float32)
+        sess.process(x)
+        sess.flush()
+        assert len(sess.flush()) == 0  # second flush: empty, no error
+        with pytest.raises(RuntimeError, match="flushed"):
+            sess.process(x)
+
+    def test_low_latency_flush_is_terminal(self, rng):
+        from audiodenoiser_tpu.eval.streaming import (
+            LowLatencyStreamingDenoiser,
+        )
+
+        ll = LowLatencyStreamingDenoiser(
+            DenoiserRunner(_IdentityNet(), {}),
+            window_samples=4096, hop_samples=512,
+            lookahead_samples=256, xfade_samples=128,
+        )
+        sess = ll.session()
+        x = np.clip(rng.standard_normal(2048) * 0.2, -1, 1).astype(np.float32)
+        sess.process(x)
+        sess.flush()
+        assert len(sess.flush()) == 0
+        with pytest.raises(RuntimeError, match="flushed"):
+            sess.process(x)
+
     def test_low_latency_flush_is_sample_exact(self, rng):
         from audiodenoiser_tpu.eval.streaming import (
             LowLatencyStreamingDenoiser,
