@@ -264,7 +264,10 @@ def main(argv=None):
                     )
                     for k in keys:
                         mu, sd = agg[k]
-                        f.write(f"{k}: {mu:.3f} +- {sd:.3f}\n")
+                        # pesq_* is the calibrated approximation, not
+                        # conformant P.862 — name it so in the artifact
+                        disp = k.replace("pesq", "pesq_approx")
+                        f.write(f"{disp}: {mu:.3f} +- {sd:.3f}\n")
                 print(
                     f"multi-seed ({len(per_seed)}x): SI-SDR "
                     f"{agg['si_sdr_noisy'][0]:.2f} -> "

@@ -688,7 +688,7 @@ def evaluate_routed_waveform(
             )
         if "pesq" in metrics:
             print(
-                f"PESQ: {metrics['pesq_noisy']:.3f} -> {metrics['pesq']:.3f}"
+                f"PESQ-approx: {metrics['pesq_noisy']:.3f} -> {metrics['pesq']:.3f}"
             )
         with open(os.path.join(output_dir, f"{nt}_routed_metrics.txt"),
                   "w") as f:
@@ -717,8 +717,13 @@ def evaluate_routed_waveform(
                 f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
                 f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
             if "pesq" in metrics:
-                f.write(f"PESQ noisy: {metrics['pesq_noisy']:.3f}\n")
-                f.write(f"PESQ denoised: {metrics['pesq']:.3f}\n")
+                f.write(f"PESQ-approx noisy: {metrics['pesq_noisy']:.3f}\n")
+                f.write(f"PESQ-approx denoised: {metrics['pesq']:.3f}\n")
+                f.write(
+                    "# PESQ-approx is a calibrated approximation of ITU-T "
+                    "P.862, valid for\n# internal deltas only — NOT "
+                    "comparable to published P.862 scores.\n"
+                )
         results[nt] = metrics
     return results
 

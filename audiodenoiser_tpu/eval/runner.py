@@ -504,7 +504,7 @@ def test_single_noise_type(
                 sample_rate,
             )
             print(
-                f"PESQ (noisy-phase recon vs clean waveform): "
+                f"PESQ-approx (noisy-phase recon vs clean waveform): "
                 f"{metrics['pesq_noisy_input']:.3f} -> "
                 f"{metrics['pesq_noisy_phase']:.3f}"
             )
@@ -533,10 +533,10 @@ def test_single_noise_type(
             )
         if "pesq_noisy_phase" in metrics:
             f.write(
-                f"PESQ (noisy input): {metrics['pesq_noisy_input']:.3f}\n"
+                f"PESQ-approx (noisy input): {metrics['pesq_noisy_input']:.3f}\n"
             )
             f.write(
-                f"PESQ (noisy-phase recon): "
+                f"PESQ-approx (noisy-phase recon): "
                 f"{metrics['pesq_noisy_phase']:.3f}\n"
             )
 
@@ -683,7 +683,7 @@ def test_noise_type_waveform(
             pesq, clean_np, den_host, sample_rate
         )
         print(
-            f"PESQ: {metrics['pesq_noisy']:.3f} (noisy) -> "
+            f"PESQ-approx: {metrics['pesq_noisy']:.3f} (noisy) -> "
             f"{metrics['pesq']:.3f} (denoised)"
         )
     except ValueError as e:  # every clip shorter than the 64 ms minimum
@@ -710,8 +710,13 @@ def test_noise_type_waveform(
             f.write(f"STOI noisy: {metrics['stoi_noisy']:.4f}\n")
             f.write(f"STOI denoised: {metrics['stoi']:.4f}\n")
         if "pesq" in metrics:
-            f.write(f"PESQ noisy: {metrics['pesq_noisy']:.3f}\n")
-            f.write(f"PESQ denoised: {metrics['pesq']:.3f}\n")
+            f.write(f"PESQ-approx noisy: {metrics['pesq_noisy']:.3f}\n")
+            f.write(f"PESQ-approx denoised: {metrics['pesq']:.3f}\n")
+            f.write(
+                "# PESQ-approx is a calibrated approximation of ITU-T "
+                "P.862, valid for\n# internal deltas only — NOT comparable "
+                "to published P.862 scores.\n"
+            )
     k = min(num_audio_examples, clean.shape[0])
     noisy_np, den_np = np.asarray(noisy_audio), np.asarray(den_audio)
     for i in range(k):

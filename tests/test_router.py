@@ -187,7 +187,7 @@ def test_evaluate_routed_waveform_reports_full_metrics(tmp_path, rng):
               "stoi", "pesq", "stoi_noisy", "pesq_noisy"):
         assert k in got, k
     txt = (tmp_path / "out" / "white_routed_metrics.txt").read_text()
-    assert "STOI denoised" in txt and "PESQ denoised" in txt
+    assert "STOI denoised" in txt and "PESQ-approx denoised" in txt
 
 
 def test_load_mixture_and_evaluate_routed(tmp_path, mixture, rng):
