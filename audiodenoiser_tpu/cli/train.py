@@ -162,6 +162,17 @@ def parse_args(argv=None):
         help="on_device pipeline: steps per epoch (default: n_chunks/batch).",
     )
     ext.add_argument(
+        "--sample_rate", type=int, default=8000,
+        help="on_device pipeline: audio sample rate (default: the "
+        "reference's 8 kHz, create_train_dataset.py:204). Clean/noise "
+        "wavs are resampled on ingest; the STFT constants (n_fft 512, "
+        "hop 128) are unchanged, so e.g. 16 kHz halves the per-frame "
+        "time span and doubles the per-second frame rate. The rate is "
+        "recorded in the checkpoint sidecar; pass the matching "
+        "--sample_rate to cli.test / cli.serve when evaluating. The npy "
+        "pipeline carries its own rate (set at featurize time).",
+    )
+    ext.add_argument(
         "--chunk_seconds", type=float, default=2.0,
         help="on_device pipeline: training-window length in seconds "
         "(default: the reference's 2 s chunks, "
@@ -621,6 +632,11 @@ def main(argv=None):
         raise SystemExit("--chunk_seconds requires --pipeline on_device "
                          "(the npy pipeline's chunking happened at dataset "
                          "build time)")
+    if args.sample_rate != 8000 and args.pipeline != "on_device":
+        raise SystemExit("--sample_rate requires --pipeline on_device (npy "
+                         "datasets bake their rate in at featurize time — "
+                         "pass --sample_rate to cli.create_train_dataset "
+                         "instead)")
 
     if args.pipeline == "npy":
         from audiodenoiser_tpu.data import SpectrogramPairs, batches, split_train_val
@@ -657,9 +673,9 @@ def main(argv=None):
         noise_dir = os.path.join(args.base_dataset_path, "noise")
         if not os.path.isdir(clean_dir):
             clean_dir = args.base_dataset_path
-        chunk_samples = int(round(8000 * args.chunk_seconds))
+        chunk_samples = int(round(args.sample_rate * args.chunk_seconds))
         chunks = load_clean_chunks(
-            load_wav_list(clean_dir), 8000, chunk_samples
+            load_wav_list(clean_dir), args.sample_rate, chunk_samples
         )
         if args.subset_fraction < 1.0:
             keep = max(1, int(len(chunks) * args.subset_fraction))
@@ -667,9 +683,12 @@ def main(argv=None):
         bank = None
         if args.noise_type in ("urban", "mixed"):
             clips = [
-                read_wav(f, sample_rate=8000)[0] for f in load_wav_list(noise_dir)
+                read_wav(f, sample_rate=args.sample_rate)[0]
+                for f in load_wav_list(noise_dir)
             ]
-            bank = NoiseBank(clips)
+            # segments must match the training window: the default 2 s
+            # @8 kHz bank breaks under --chunk_seconds / --sample_rate
+            bank = NoiseBank(clips, target_len=chunk_samples)
         # held-out 90/10 split over the CLEAN CHUNKS (mirrors the
         # reference's random_split, train.py:111-114): the val mixer draws
         # from chunks training never sees
@@ -683,10 +702,12 @@ def main(argv=None):
             snr_kwargs["snr_db"] = (args.snr_min, args.snr_max)
         mixer = OnDeviceMixer(
             chunks[tr_idx], args.noise_type, noise_bank=bank,
-            augment=args.augment, **snr_kwargs
+            augment=args.augment, sample_rate=args.sample_rate, **snr_kwargs
         )
         # validation stays at the reference's fixed SNR for comparability
-        val_mixer = OnDeviceMixer(chunks[va_idx], args.noise_type, noise_bank=bank)
+        val_mixer = OnDeviceMixer(chunks[va_idx], args.noise_type,
+                                  noise_bank=bank,
+                                  sample_rate=args.sample_rate)
         n_steps = args.steps_per_epoch or max(1, len(mixer) // args.batch_size)
         val_steps = max(1, n_steps // 10)
         base_key = jax.random.key(args.seed)
@@ -803,6 +824,8 @@ def main(argv=None):
             mask_meta["attn_bottleneck"] = True
         if args.s2d_stem:
             mask_meta["s2d_stem"] = True
+        if args.sample_rate != 8000:
+            mask_meta["sample_rate"] = args.sample_rate
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
         teacher = None
         if args.distill_from:
@@ -837,6 +860,7 @@ def main(argv=None):
         )
     elif args.model == "unet" and (
         args.width_mult != 1.0 or args.attn_bottleneck or args.s2d_stem
+        or args.sample_rate != 8000
     ):
         # magnitude-family architecture variants: the loader needs these
         # to rebuild the model (same sidecar flow the mask head uses)
@@ -845,6 +869,8 @@ def main(argv=None):
             mask_meta["attn_bottleneck"] = True
         if args.s2d_stem:
             mask_meta["s2d_stem"] = True
+        if args.sample_rate != 8000:
+            mask_meta["sample_rate"] = args.sample_rate
 
     with maybe_trace(args.profile_dir):
         result = fit(cfg, train_batches, val_batches, **fit_kwargs)

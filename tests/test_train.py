@@ -400,6 +400,72 @@ class TestTrainCLI:
         )
         assert np.isfinite(out["best_val"])
 
+    def test_cli_sample_rate_16k_on_device(self, tmp_path, monkeypatch, rng):
+        """--sample_rate 16000: rate-generic on-device training — clean
+        wavs at any rate are resampled on ingest, chunk length scales with
+        the rate, and the checkpoint sidecar records the rate so eval/serve
+        can be pointed at the matching --sample_rate (BASELINE.json
+        config 5 names 16 kHz streaming)."""
+        import json
+
+        import audiodenoiser_tpu.train.loop as loop_mod
+        from audiodenoiser_tpu.cli.train import main
+        from audiodenoiser_tpu.data.wav_io import write_wav
+
+        monkeypatch.setattr(
+            loop_mod, "UNet",
+            lambda dtype, remat=False: UNet(
+                features=(4, 8), bottleneck=16, dtype=dtype, remat=remat
+            ),
+        )
+        clean_dir = tmp_path / "clean"
+        noise_dir = tmp_path / "noise"
+        clean_dir.mkdir(), noise_dir.mkdir()
+        for i in range(2):
+            # 44.1 kHz source (the real-corpus rate): ingest resamples
+            write_wav(
+                str(clean_dir / f"c{i}.wav"),
+                np.clip(rng.standard_normal(3 * 44100) * 0.2, -1, 1).astype(
+                    np.float32
+                ),
+                44100,
+            )
+        write_wav(
+            str(noise_dir / "n0.wav"),
+            np.clip(rng.standard_normal(16000) * 0.2, -1, 1).astype(
+                np.float32
+            ),
+            16000,
+        )
+        out = main(
+            [
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "mixed",
+                "--pipeline", "on_device",
+                "--sample_rate", "16000",
+                "--output_path", str(tmp_path / "runs"),
+                "--run_name", "sr16run",
+                "--epochs", "1",
+                "--batch_size", "2",
+                "--steps_per_epoch", "2",
+                "--precision", "f32",
+                "--export_dir", str(tmp_path / "saved_models"),
+            ]
+        )
+        assert np.isfinite(out["best_val"])
+        sidecar = tmp_path / "saved_models" / "unet_denoiser_mixed.json"
+        assert json.loads(sidecar.read_text())["sample_rate"] == 16000
+
+    def test_cli_sample_rate_requires_on_device(self, tmp_path):
+        from audiodenoiser_tpu.cli.train import main
+
+        with pytest.raises(SystemExit, match="sample_rate"):
+            main([
+                "--base_dataset_path", str(tmp_path),
+                "--noise_type", "white",
+                "--sample_rate", "16000",
+            ])
+
 
 class TestFailureDetection:
     def test_fit_aborts_on_nonfinite_loss(self, tmp_path, monkeypatch):
