@@ -181,7 +181,7 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
 
 
 def run_train_bench(batch_size: int = 256, iters: int = 10,
-                    warmup: int = 2) -> dict:
+                    warmup: int = 2, s2d: bool = False) -> dict:
     """Steady-state donated train-step throughput on the flagship U-Net.
 
     Same (256, 64) spectrogram crops as real training (data/dataset.py),
@@ -200,7 +200,7 @@ def run_train_bench(batch_size: int = 256, iters: int = 10,
     from audiodenoiser_tpu.models import UNet
     from audiodenoiser_tpu.train.loop import create_train_state, train_step
 
-    model = UNet(dtype=jnp.bfloat16)
+    model = UNet(dtype=jnp.bfloat16, s2d_stem=s2d)
     state = create_train_state(jax.random.key(0), model,
                                input_shape=(1, 256, 64, 1))
     rng = np.random.default_rng(0)
@@ -227,17 +227,18 @@ def run_train_bench(batch_size: int = 256, iters: int = 10,
     float(losses.total)
     dt = time.perf_counter() - t0
 
+    pre = "s2d_train" if s2d else "train"
     out = {
-        "train_samples_per_sec": round(batch_size * iters / dt, 1),
-        "train_step_ms": round(dt / iters * 1000.0, 2),
+        f"{pre}_samples_per_sec": round(batch_size * iters / dt, 1),
+        f"{pre}_step_ms": round(dt / iters * 1000.0, 2),
     }
     if flops is not None:
-        out["train_tflops_per_sec"] = round(flops * iters / dt / 1e12, 2)
+        out[f"{pre}_tflops_per_sec"] = round(flops * iters / dt / 1e12, 2)
     return out
 
 
 def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
-                     sample_rate: int = 8000) -> dict:
+                     sample_rate: int = 8000, prefix: str = "stream") -> dict:
     """Streaming realtime factor on the flagship model: wall-clock to push
     ``total_seconds`` of audio through a device-resident WOLA session in
     ``packet_seconds`` packets (one dispatch per packet). RTF > 1 means
@@ -273,15 +274,39 @@ def run_stream_bench(packet_seconds: float = 1.0, total_seconds: float = 10.0,
         sess.process(packet)
     sess.flush()
     dt = time.perf_counter() - t0
-    return {
-        "stream_realtime_factor": round(n * packet_seconds / dt, 1),
-        "stream_packet_ms": round(dt / n * 1000.0, 1),
+    out = {
+        f"{prefix}_realtime_factor": round(n * packet_seconds / dt, 1),
+        f"{prefix}_packet_ms": round(dt / n * 1000.0, 1),
     }
+    # relay-free compiled-step latency: the per-packet wall above is
+    # dispatch-round-trip-dominated on the axon relay (~31 ms/dispatch vs
+    # ~6 ms on-chip compute, docs/LATENCY.md) — chain K session steps
+    # back-to-back (each advance consumes the previous device state, so
+    # the device executes them serially while the host keeps the queue
+    # full) and divide: that is the on-chip compute per streaming step,
+    # i.e. what a colocated real-time caller would see.
+    eng = StreamingDenoiser(runner, chunk_samples=chunk,
+                            sample_rate=sample_rate)
+    hop = np.clip(
+        0.2 * rng.standard_normal((1, eng.hop)), -1, 1
+    ).astype(np.float32)
+    state = (jnp.zeros(eng.hop, jnp.float32), jnp.zeros(eng.hop, jnp.float32))
+    state, o = eng._session_steps(state, jnp.asarray(hop))  # compile
+    float(o[0])
+    k = 30
+    t0 = time.perf_counter()
+    for _ in range(k):
+        state, o = eng._session_steps(state, jnp.asarray(hop))
+    float(o[0])
+    dt = time.perf_counter() - t0
+    out[f"{prefix}_step_compute_ms"] = round(dt / k * 1000.0, 2)
+    return out
 
 
 def run_multistream_bench(streams: int = 8, chunk: int = 16000,
                           ticks: int = 10, sample_rate: int = 8000,
-                          width_mult: float = 1.0) -> dict:
+                          width_mult: float = 1.0,
+                          prefix: str = "stream_pool") -> dict:
     """Pooled stream capacity: N lockstep real-time streams advanced in
     one dispatch per tick (eval.streaming.MultiStreamWola, the
     `cli.serve --stream_pool` engine). Aggregate RTF = total seconds of
@@ -321,11 +346,11 @@ def run_multistream_bench(streams: int = 8, chunk: int = 16000,
         pool.process(feed)
     dt = (time.perf_counter() - t0) / ticks
     return {
-        "stream_pool_streams": streams,
-        "stream_pool_aggregate_rtf": round(
+        f"{prefix}_streams": streams,
+        f"{prefix}_aggregate_rtf": round(
             streams * pool.hop / sample_rate / dt, 1
         ),
-        "stream_pool_tick_ms": round(1000 * dt, 1),
+        f"{prefix}_tick_ms": round(1000 * dt, 1),
     }
 
 
@@ -362,6 +387,15 @@ def main(argv=None):
     p.add_argument("--no_s2d", action="store_true",
                    help="skip the space-to-depth-stem tier throughput "
                    "measurement (--s2d_stem family, 3.07x at -0.7 dB avg)")
+    p.add_argument("--no_int8", action="store_true",
+                   help="skip the int8-MXU tier measurement (a recorded "
+                   "NEGATIVE on this chip: slower than bf16, kept so the "
+                   "committed artifact carries the whole measured menu)")
+    p.add_argument("--no_pool64", action="store_true",
+                   help="skip the 64-stream pooled capacity measurement")
+    p.add_argument("--no_stream16k", action="store_true",
+                   help="skip the 16 kHz streaming realtime-factor "
+                   "measurement (rate-generic WOLA engine at sr=16000)")
     p.add_argument("--width_mult", type=float, default=1.0,
                    help="benchmark a width-scaled compact student instead "
                    "of the reference 31M-param architecture")
@@ -388,8 +422,22 @@ def main(argv=None):
         result.update(run_train_bench(args.train_batch_size))
     if not args.no_stream:
         result.update(run_stream_bench())
+    if not args.no_stream16k:
+        # BASELINE.json config 5 names 16 kHz; the WOLA engines are
+        # rate-generic, so measure the flagship at sr=16000 too (2x the
+        # samples per wall-second needed for realtime)
+        result.update(run_stream_bench(sample_rate=16000,
+                                       prefix="stream16k"))
     if not args.no_pool:
         result.update(run_multistream_bench(width_mult=args.width_mult))
+    if not args.no_pool64:
+        # capacity point at the recommended (full-width) tier: 64 live
+        # streams coalesced into one dispatch per tick (docs/LATENCY.md
+        # measured 64 streams at >1x per-stream RTF in round 3)
+        result.update(run_multistream_bench(
+            streams=64, ticks=5, width_mult=args.width_mult,
+            prefix="stream_pool64",
+        ))
     if not args.no_student and args.width_mult == 1.0:
         # compact-student serving throughput beside the flagship number
         student = run_bench(args.batch_size, args.clip_seconds,
@@ -407,6 +455,18 @@ def main(argv=None):
         result["s2d_frames_per_sec"] = s2d["value"]
         if "infer_pct_bf16_peak" in s2d:
             result["s2d_pct_bf16_peak"] = s2d["infer_pct_bf16_peak"]
+        # the tier's training wall too ("~2x" lived only in prose before
+        # r5): same donated train step, s2d stem
+        if not args.no_train:
+            result.update(run_train_bench(args.train_batch_size, s2d=True))
+    if not args.no_int8 and args.width_mult == 1.0:
+        # int8-MXU tier: a recorded NEGATIVE on v5e (231k vs 300k+ bf16,
+        # docs/STATUS.md r4) — measured anyway so BENCH_r{N}.json carries
+        # the full menu, not just the flattering rows
+        int8 = run_bench(args.batch_size, args.clip_seconds,
+                         max(5, args.iters // 2), mode="int8",
+                         pipelined=not args.latency)
+        result["int8_frames_per_sec"] = int8["value"]
     print(json.dumps(result))
 
 

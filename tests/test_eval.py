@@ -468,6 +468,43 @@ class TestBench:
         r = run_stream_bench(packet_seconds=0.25, total_seconds=1.0)
         assert r["stream_realtime_factor"] > 0
         assert r["stream_packet_ms"] > 0
+        # relay-free compiled-step latency rides the same measurement
+        assert r["stream_step_compute_ms"] > 0
+
+    def test_stream_bench_prefix_names_keys(self, monkeypatch):
+        """The 16 kHz row reuses the engine with a key prefix."""
+        import audiodenoiser_tpu.models as models_mod
+        from audiodenoiser_tpu.eval.bench import run_stream_bench
+        from audiodenoiser_tpu.models import UNet as RealUNet
+
+        monkeypatch.setattr(
+            models_mod, "UNet",
+            lambda dtype: RealUNet(features=(4, 8), bottleneck=16,
+                                   dtype=dtype),
+        )
+        r = run_stream_bench(packet_seconds=0.25, total_seconds=0.5,
+                             sample_rate=16000, prefix="stream16k")
+        assert r["stream16k_realtime_factor"] > 0
+        assert "stream_realtime_factor" not in r
+
+    def test_train_bench_s2d_prefixes_keys(self, monkeypatch):
+        """--s2d train-wall measurement: same donated step, s2d stem,
+        s2d_train_* keys (BENCH menu completeness, VERDICT r4 #6)."""
+        import audiodenoiser_tpu.models as models_mod
+        from audiodenoiser_tpu.eval.bench import run_train_bench
+        from audiodenoiser_tpu.models import UNet as RealUNet
+
+        monkeypatch.setattr(
+            models_mod, "UNet",
+            lambda dtype, s2d_stem=False: RealUNet(
+                features=(4, 8), bottleneck=16, dtype=dtype,
+                s2d_stem=s2d_stem,
+            ),
+        )
+        r = run_train_bench(batch_size=2, iters=2, warmup=1, s2d=True)
+        assert r["s2d_train_samples_per_sec"] > 0
+        assert r["s2d_train_step_ms"] > 0
+        assert "train_samples_per_sec" not in r
 
 
 class TestEvalBatching:
