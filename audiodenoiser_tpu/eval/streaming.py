@@ -986,3 +986,183 @@ class PooledSession:
             with self.parent._stage_lock:
                 self.parent.pool.close(self.slot)
                 self.parent._out.pop(self.slot, None)
+
+
+class StreamingResampler:
+    """Streaming-safe polyphase resampler with offline-identical output.
+
+    ``scipy.signal.resample_poly`` is a zero-phase offline filter — calling
+    it independently per packet would put filter edge transients at every
+    packet seam. This wrapper instead re-filters from a *retirement point*
+    ``r`` (a consumed-input offset, kept a multiple of the decimation
+    factor so the corresponding output offset ``r*up/down`` is integral)
+    and emits only output samples whose filter support is fully covered by
+    already-fed input (``_CTX`` input samples held back). ``r`` advances as
+    the stream grows, bounding per-push work at O(packet + context). The
+    concatenated stream output is bit-identical to
+    ``resample_poly(whole_signal)`` — including the very first samples —
+    which the tests assert against random packet sizes.
+
+    Serves the rate-adapting session wrapper below (BASELINE.json config 5
+    names 16 kHz streaming; the WOLA engines are rate-generic but trained
+    checkpoints are not — a 16 kHz client rides the 8 kHz model through
+    this pair of resamplers).
+    """
+
+    def __init__(self, in_rate: int, out_rate: int):
+        import math
+
+        g = math.gcd(int(in_rate), int(out_rate))
+        self.up = int(out_rate) // g
+        self.down = int(in_rate) // g
+        # resample_poly's default kaiser filter half-length is
+        # 10*max(up,down) output-grid taps; 32*max in INPUT samples is a
+        # comfortable cover (verified bit-exact by the tests)
+        self._ctx = 32 * max(self.up, self.down)
+        self._buf = np.zeros(0, np.float32)  # input since the retire point
+        self._r = 0  # retired input samples (multiple of self.down)
+        self._fed = 0  # total input samples pushed
+        self._emitted = 0  # total output samples emitted
+        self._flushed = False
+
+    def _out_of(self, n_in: int) -> int:
+        """Output samples for ``n_in`` input samples (resample_poly len)."""
+        return -(-n_in * self.up // self.down)  # ceil
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed samples; returns every output sample now fully determined
+        (those not depending on future input via the filter tail)."""
+        if self._flushed:
+            raise RuntimeError("resampler is flushed")
+        from scipy.signal import resample_poly
+
+        x = np.asarray(samples, np.float32).ravel()
+        self._buf = np.concatenate([self._buf, x])
+        self._fed += x.size
+        # emit up to the last output whose filter support closes _ctx
+        # input samples before the stream head
+        target = max(self._emitted, self._out_of(self._fed - self._ctx))
+        if target == self._emitted:
+            return np.zeros(0, np.float32)
+        y = resample_poly(self._buf, self.up, self.down).astype(np.float32)
+        base = self._r * self.up // self.down  # integral: r % down == 0
+        out = y[self._emitted - base: target - base]
+        self._emitted = target
+        # advance the retire point, keeping 2*ctx of history
+        keep_from = self._fed - 2 * self._ctx
+        if keep_from > self._r:
+            new_r = (keep_from // self.down) * self.down
+            self._buf = self._buf[new_r - self._r:]
+            self._r = new_r
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Emit the held-back tail; total output == resample_poly(total
+        input) length. The resampler is terminal afterwards."""
+        if self._flushed:
+            return np.zeros(0, np.float32)
+        self._flushed = True
+        from scipy.signal import resample_poly
+
+        target = self._out_of(self._fed)
+        if target == self._emitted:
+            return np.zeros(0, np.float32)
+        y = resample_poly(self._buf, self.up, self.down).astype(np.float32)
+        base = self._r * self.up // self.down
+        out = y[self._emitted - base: target - base]
+        self._emitted = target
+        return out
+
+
+class ResampledStreamingSession:
+    """Rate adapter: a client at ``client_rate`` rides a model-rate session.
+
+    Wraps any session exposing ``process/flush/latency_samples`` (WOLA,
+    low-latency, pooled, routed): client audio is stream-resampled to the
+    model rate on the way in and back to the client rate on the way out,
+    both through :class:`StreamingResampler` (no per-packet filter seams).
+    Sample-exact at the client rate: after ``flush()`` the total output
+    length equals the total input length, like the inner sessions.
+
+    ``cli.serve`` uses this for ``POST /stream/start?rate=...`` clients
+    whose rate differs from the model's.
+    """
+
+    def __init__(self, inner, client_rate: int, model_rate: int):
+        self.inner = inner
+        self.client_rate = int(client_rate)
+        self.model_rate = int(model_rate)
+        self._in_rs = StreamingResampler(client_rate, model_rate)
+        self._out_rs = StreamingResampler(model_rate, client_rate)
+        self._fed = 0
+        self._emitted = 0
+        self._flushed = False
+
+    @property
+    def latency_samples(self) -> int:
+        """Inner latency rescaled to the client rate, plus the two
+        resamplers' held-back filter contexts."""
+        inner_cl = self.inner.latency_samples * self.client_rate
+        rs_in_cl = self._in_rs._ctx  # client-rate samples
+        rs_out_cl = self._out_rs._ctx * self.client_rate
+        return (
+            -(-inner_cl // self.model_rate)
+            + rs_in_cl
+            + -(-rs_out_cl // self.model_rate)
+        )
+
+    def _clamp(self, out: np.ndarray) -> np.ndarray:
+        out = out[: max(0, self._fed - self._emitted)]
+        self._emitted += len(out)
+        return out
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if self._flushed:
+            raise RuntimeError("session is flushed; open a new session")
+        samples = np.asarray(samples, np.float32).ravel()
+        self._fed += samples.size
+        model_in = self._in_rs.push(samples)
+        model_out = (
+            self.inner.process(model_in)
+            if len(model_in)
+            else np.zeros(0, np.float32)
+        )
+        return self._clamp(
+            self._out_rs.push(model_out)
+            if len(model_out)
+            else np.zeros(0, np.float32)
+        )
+
+    def close(self) -> None:
+        """Release the inner session's resources (e.g. a pool slot)."""
+        close = getattr(self.inner, "close", None)
+        if callable(close):
+            close()
+
+    def flush(self) -> np.ndarray:
+        """Drain both resamplers and the inner session; total client-rate
+        output == total client-rate input. Terminal."""
+        if self._flushed:
+            return np.zeros(0, np.float32)
+        self._flushed = True
+        tail_in = self._in_rs.flush()
+        pieces = []
+        if len(tail_in):
+            pieces.append(self.inner.process(tail_in))
+        pieces.append(self.inner.flush())
+        model_tail = np.concatenate(pieces) if pieces else np.zeros(0)
+        out = [
+            self._out_rs.push(model_tail)
+            if len(model_tail)
+            else np.zeros(0, np.float32),
+            self._out_rs.flush(),
+        ]
+        got = self._clamp(np.concatenate(out))
+        short = self._fed - self._emitted
+        if short > 0:
+            # rate-ratio rounding can leave the client a few samples shy
+            # (e.g. odd-length 16k streams through an 8k model); pad the
+            # window-decay silence to keep the sample-exact contract
+            got = np.concatenate([got, np.zeros(short, np.float32)])
+            self._emitted += short
+        return got

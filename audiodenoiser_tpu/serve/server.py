@@ -488,7 +488,19 @@ def make_http_server(
                 return
             if parsed.path == "/stream/start":
                 _evict_idle()
-                mode = parse_qs(parsed.query).get("mode", [None])[0]
+                qs = parse_qs(parsed.query)
+                mode = qs.get("mode", [None])[0]
+                rate = qs.get("rate", [None])[0]
+                try:
+                    rate = int(rate) if rate is not None else None
+                except ValueError:
+                    self._send(400, b'{"error": "bad rate"}',
+                               "application/json")
+                    return
+                if rate is not None and not 1000 <= rate <= 384000:
+                    self._send(400, b'{"error": "rate out of range"}',
+                               "application/json")
+                    return
                 sid = uuid.uuid4().hex[:16]
                 # cap enforced at insert time under s_lock below: the map
                 # never exceeds max_stream_sessions even with concurrent
@@ -508,6 +520,18 @@ def make_http_server(
                         sess, sess_gen = sess
                     else:  # plain factories (incl. stub services in tests)
                         sess_gen = getattr(service, "generation", 0)
+                    if rate is not None and rate != service.sample_rate:
+                        # rate adapter: the client streams at its own rate
+                        # over the model-rate session through a pair of
+                        # streaming-safe polyphase resamplers
+                        from audiodenoiser_tpu.eval.streaming import (
+                            ResampledStreamingSession,
+                        )
+
+                        sess = ResampledStreamingSession(
+                            sess, client_rate=rate,
+                            model_rate=service.sample_rate,
+                        )
                 except IndexError as e:
                     # a pooled factory signals slot exhaustion this way
                     # (PooledStreamSessions over a full MultiStreamWola)
@@ -542,6 +566,7 @@ def make_http_server(
                         getattr(sess, "latency_samples", 0)
                     ),
                     "format": "f32le",
+                    "sample_rate": rate or service.sample_rate,
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
                 return

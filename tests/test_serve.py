@@ -308,6 +308,48 @@ class TestStreamingHTTP:
             self._post(f"{stream_url}/stream/{sid}", b"")
         assert e.value.code == 404
 
+    def test_rate_adapted_session_16k_client(self, stream_url, rng):
+        """POST /stream/start?rate=16000 over an 8 kHz service: the rate
+        adapter resamples both ways; the stream is sample-exact at the
+        client rate and a band-limited signal survives the identity
+        round-trip."""
+        info = json.loads(
+            self._post(f"{stream_url}/stream/start?rate=16000")
+        )
+        sid = info["session"]
+        assert info["sample_rate"] == 16000
+        n = 4 * 16000
+        t = np.arange(n) / 16000.0
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        got = []
+        for piece in np.array_split(x, 9):
+            out = self._post(
+                f"{stream_url}/stream/{sid}", piece.astype("<f4").tobytes()
+            )
+            got.append(np.frombuffer(out, "<f4"))
+        got.append(np.frombuffer(
+            self._post(f"{stream_url}/stream/{sid}/flush"), "<f4"
+        ))
+        y = np.concatenate(got)
+        assert len(y) == n  # sample-exact at the CLIENT rate
+        s, e = 8000, n - 8000
+        np.testing.assert_allclose(y[s:e], x[s:e], atol=2e-3)
+
+    def test_bad_rate_param_400(self, stream_url):
+        for bad in ("abc", "10"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._post(f"{stream_url}/stream/start?rate={bad}")
+            assert e.value.code == 400
+
+    def test_matching_rate_param_no_adapter(self, stream_url, rng):
+        """?rate= equal to the service rate is a no-op (no resamplers)."""
+        info = json.loads(
+            self._post(f"{stream_url}/stream/start?rate=8000")
+        )
+        assert info["sample_rate"] == 8000
+        assert info["latency_samples"] == 2048  # inner session, unwrapped
+        self._post(f"{stream_url}/stream/{info['session']}/flush")
+
     def test_unknown_session_404(self, stream_url):
         with pytest.raises(urllib.error.HTTPError) as e:
             self._post(f"{stream_url}/stream/{'0' * 16}", b"\x00" * 4)
