@@ -30,10 +30,21 @@ jax.config.update("jax_num_cpu_devices", 8)
 # dominate suite wall time (~20 min cold). With the cache, re-runs skip
 # every unchanged compile (measured 12.3 s -> 1.0 s for a UNet init); keys
 # hash the HLO, so edits recompile exactly what changed.
+#
+# The cache dir is keyed by the HOST CPU's feature set: XLA:CPU serializes
+# machine-code executables whose cache key does NOT include the compile
+# host's ISA features, so a cache written on one machine and read on
+# another with different features loads foreign machine code — observed as
+# a hard SIGSEGV inside get_executable_and_time when this repo moved hosts
+# between rounds (the cpu_aot_loader machine-feature warnings are the
+# same mismatch, non-fatally). One dir per feature set makes a host
+# change a cold cache instead of a crash.
+from audiodenoiser_tpu.utils.cache import host_cpu_cache_key  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+                 ".jax_cache", host_cpu_cache_key()),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # keep CLI mains invoked by tests from redirecting the cache away from
