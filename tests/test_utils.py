@@ -89,11 +89,17 @@ class TestPersistentCache:
 
         from audiodenoiser_tpu.utils.cache import enable_persistent_cache
 
+        from audiodenoiser_tpu.utils.cache import host_cpu_cache_key
+
         monkeypatch.delenv("ADT_NO_COMPILE_CACHE", raising=False)
         prev = jax.config.jax_compilation_cache_dir
         try:
             path = enable_persistent_cache(str(tmp_path / "xla"))
-            assert path == str(tmp_path / "xla")
+            # on CPU backends the cache dir is keyed by the host's CPU
+            # feature set (XLA:CPU serializes host machine code whose cache
+            # key ignores ISA features — see utils/cache.host_cpu_cache_key)
+            assert path == os.path.join(str(tmp_path / "xla"),
+                                        host_cpu_cache_key())
             assert os.path.isdir(path)
             assert jax.config.jax_compilation_cache_dir == path
         finally:
