@@ -153,6 +153,16 @@ def parse_args(argv=None):
         "both families and --width_mult; not supported with --pp_stages.",
     )
     ext.add_argument(
+        "--s2d_skip", type=int, default=0,
+        help="with --s2d_stem: width of a full-resolution refinement path "
+        "(one BN-free Conv3x3->ReLU over the full-res input, concatenated "
+        "with the sub-pixel head features, final full-res Conv3x3). The "
+        "s2d tier's quality gap is architecture-bound fine spectral "
+        "structure (round-5 distillation study); this buys it back with a "
+        "few full-res channels at ~1%% of the FLOPs the half-res pyramid "
+        "saves. Sidecar-recorded; 0 disables.",
+    )
+    ext.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net blocks to cut activation memory "
         "(enables much larger per-chip batches).",
@@ -603,8 +613,12 @@ def main(argv=None):
         width_mult=args.width_mult,
         attn_bottleneck=args.attn_bottleneck,
         s2d_stem=args.s2d_stem,
+        s2d_skip=args.s2d_skip,
         extra_config=vars(args),
     )
+    if args.s2d_skip and not args.s2d_stem:
+        raise SystemExit("--s2d_skip requires --s2d_stem (it refines the "
+                         "sub-pixel head)")
 
     if args.model == "complex_mask" and args.pipeline != "on_device":
         raise SystemExit("--model complex_mask requires --pipeline on_device "
@@ -824,6 +838,8 @@ def main(argv=None):
             mask_meta["attn_bottleneck"] = True
         if args.s2d_stem:
             mask_meta["s2d_stem"] = True
+        if args.s2d_skip:
+            mask_meta["s2d_skip"] = args.s2d_skip
         if args.sample_rate != 8000:
             mask_meta["sample_rate"] = args.sample_rate
         dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
@@ -846,6 +862,7 @@ def main(argv=None):
                                 zero_out_init=residual,
                                 attn_bottleneck=args.attn_bottleneck,
                                 s2d_stem=args.s2d_stem,
+                                s2d_skip=args.s2d_skip,
                                 **width_kwargs(args.width_mult)),
                 learning_rate=args.learning_rate,
                 schedule=args.lr_schedule,
@@ -869,6 +886,8 @@ def main(argv=None):
             mask_meta["attn_bottleneck"] = True
         if args.s2d_stem:
             mask_meta["s2d_stem"] = True
+        if args.s2d_skip:
+            mask_meta["s2d_skip"] = args.s2d_skip
         if args.sample_rate != 8000:
             mask_meta["sample_rate"] = args.sample_rate
 

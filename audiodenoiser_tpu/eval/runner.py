@@ -148,6 +148,8 @@ def load_model_from_path(
             kwargs["attn_bottleneck"] = True
         if meta.get("s2d_stem"):
             kwargs["s2d_stem"] = True
+        if meta.get("s2d_skip"):
+            kwargs["s2d_skip"] = int(meta["s2d_skip"])
         if stem == "mask_denoiser":
             from audiodenoiser_tpu.models import ComplexMaskUNet
 

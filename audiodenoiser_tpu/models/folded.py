@@ -97,6 +97,11 @@ def fold_for_inference(params, batch_stats,
         tree[f"up{i}_conv"] = fold_double(f"up{i}_conv")
     tree["bottleneck"] = fold_double("bottleneck")
     tree["out"] = plain("out")
+    if "s2d_skip_conv" in params:
+        # full-resolution refinement path (s2d_skip): BN-free convs, so
+        # nothing to fold — cast-through like the deconvs/head
+        tree["s2d_skip_conv"] = plain("s2d_skip_conv")
+        tree["s2d_refine"] = plain("s2d_refine")
     if "bottleneck_attn" in params:
         # LayerNorm/MHSA are not BN-foldable; carried verbatim and applied
         # through the original flax module at forward time.
@@ -147,6 +152,7 @@ class FoldedUNet:
                  mask_bound: Optional[float] = None,
                  mask_residual: bool = False,
                  s2d_stem: bool = False,
+                 s2d_skip: int = 0,
                  out_channels: int = 1):
         self.features = tuple(features)
         self.dtype = dtype
@@ -155,6 +161,7 @@ class FoldedUNet:
         self.mask_bound = mask_bound
         self.mask_residual = mask_residual
         self.s2d_stem = s2d_stem
+        self.s2d_skip = s2d_skip
         self.out_channels = out_channels
 
     @classmethod
@@ -168,6 +175,7 @@ class FoldedUNet:
             mask_bound=getattr(model, "mask_bound", None),
             mask_residual=bool(getattr(model, "residual", False)),
             s2d_stem=model.s2d_stem,
+            s2d_skip=getattr(model, "s2d_skip", 0),
             out_channels=model.out_channels,
         )
 
@@ -178,11 +186,13 @@ class FoldedUNet:
             else variables
         in_dtype = x.dtype
         h = x.astype(self.dtype)
+        x_full = None
         if self.s2d_stem:
             in_h, in_w = h.shape[1], h.shape[2]
             ph, pw = (-in_h) % 2, (-in_w) % 2
             if ph or pw:
                 h = jnp.pad(h, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            x_full = h
             h = space_to_depth(h)
         skips = []
         for i in range(len(self.features)):
@@ -200,7 +210,13 @@ class FoldedUNet:
             h = _double(h, v[f"up{i}_conv"])
         h = _conv(h, v["out"], relu=False)
         if self.s2d_stem:
-            h = depth_to_space(h, self.out_channels)
+            if self.s2d_skip:
+                h = depth_to_space(h, self.s2d_skip)
+                fr = _conv(x_full, v["s2d_skip_conv"], relu=True)
+                h = _conv(jnp.concatenate([h, fr], axis=-1),
+                          v["s2d_refine"], relu=False)
+            else:
+                h = depth_to_space(h, self.out_channels)
             h = h[:, :in_h, :in_w, :]
         if self.mask_bound is not None:
             # ComplexMaskUNet head: M = K tanh(out) (+ identity when
@@ -214,7 +230,7 @@ class FoldedUNet:
         return hash(("FoldedUNet", self.features, str(self.dtype),
                      self.attn_bottleneck, self.attn_heads,
                      self.mask_bound, self.mask_residual,
-                     self.s2d_stem, self.out_channels))
+                     self.s2d_stem, self.s2d_skip, self.out_channels))
 
     def __eq__(self, other):
         return (isinstance(other, FoldedUNet)
@@ -225,6 +241,7 @@ class FoldedUNet:
                 and self.mask_bound == other.mask_bound
                 and self.mask_residual == other.mask_residual
                 and self.s2d_stem == other.s2d_stem
+                and self.s2d_skip == other.s2d_skip
                 and self.out_channels == other.out_channels)
 
 
@@ -245,6 +262,7 @@ def fold_runner_inputs(model: UNet, variables,
             mask_bound=folded_model.mask_bound,
             mask_residual=folded_model.mask_residual,
             s2d_stem=folded_model.s2d_stem,
+            s2d_skip=folded_model.s2d_skip,
             out_channels=folded_model.out_channels,
         )
     folded = fold_for_inference(

@@ -242,16 +242,29 @@ class UNet(nn.Module):
     # checkpoint-convertible from the plain net): quality must be
     # re-established per recipe, throughput A/B in
     # examples/bench_s2d_stem.py
+    s2d_skip: int = 0  # with s2d_stem: width of a full-resolution
+    # refinement path. The round-4/5 A/Bs located the s2d tier's quality
+    # gap in fine spectral structure the half-res pyramid cannot carry
+    # (distillation recovers only ~0.15 dB of the ~0.7 dB gap — it is
+    # architecture-bound, not supervision-bound). This path runs ONE
+    # BN-free Conv3x3->ReLU over the full-res input, concatenates it with
+    # the depth-to-space head features (the 1x1 "out" conv emits
+    # 4*s2d_skip channels instead of 4*out_channels), and a final full-res
+    # Conv3x3 emits the output — a few full-res channels at ~1% of the
+    # FLOPs the half-res pyramid saves. zero_out_init moves to the final
+    # refine conv, preserving the residual-mask identity-at-init contract.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_dtype = x.dtype
         x = x.astype(self.dtype)
+        x_full = None
         if self.s2d_stem:
             in_h, in_w = x.shape[1], x.shape[2]
             ph, pw = (-in_h) % 2, (-in_w) % 2
             if ph or pw:  # odd eval shapes, e.g. (257, T) whole clips
                 x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            x_full = x
             x = space_to_depth(x)
         block = (
             nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
@@ -286,20 +299,46 @@ class UNet(nn.Module):
             x = jnp.concatenate([skip, x], axis=-1)
             x = block(f, dtype=self.dtype, name=f"up{i}_conv")(x, train)
 
+        refine = bool(self.s2d_stem and self.s2d_skip)
+        head_ch = self.s2d_skip if refine else self.out_channels
         x = nn.Conv(
-            self.out_channels * (4 if self.s2d_stem else 1),
+            head_ch * (4 if self.s2d_stem else 1),
             kernel_size=(1, 1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="out",
             **(
                 {"kernel_init": nn.initializers.zeros}
-                if self.zero_out_init
+                if self.zero_out_init and not refine
                 else {}
             ),
         )(x)
         if self.s2d_stem:
-            x = depth_to_space(x, self.out_channels)
+            if refine:
+                x = depth_to_space(x, self.s2d_skip)
+                fr = nn.relu(nn.Conv(
+                    self.s2d_skip,
+                    kernel_size=(3, 3),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="s2d_skip_conv",
+                )(x_full))
+                x = nn.Conv(
+                    self.out_channels,
+                    kernel_size=(3, 3),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="s2d_refine",
+                    **(
+                        {"kernel_init": nn.initializers.zeros}
+                        if self.zero_out_init
+                        else {}
+                    ),
+                )(jnp.concatenate([x, fr], axis=-1))
+            else:
+                x = depth_to_space(x, self.out_channels)
             x = x[:, :in_h, :in_w, :]
         return x.astype(in_dtype)
 

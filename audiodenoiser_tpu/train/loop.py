@@ -197,6 +197,8 @@ class FitConfig:
     s2d_stem: bool = False  # space-to-depth stem + sub-pixel head (the
     # first U-Net level runs at half spatial resolution); recorded in
     # the checkpoint sidecar like width_mult
+    s2d_skip: int = 0  # with s2d_stem: width of the full-resolution
+    # refinement path (models.unet.UNet.s2d_skip); sidecar-recorded
     extra_config: dict = field(default_factory=dict)
 
 
@@ -287,6 +289,7 @@ def fit(
             # stable for callers/tests that substitute a narrower model
             **({"attn_bottleneck": True} if config.attn_bottleneck else {}),
             **({"s2d_stem": True} if config.s2d_stem else {}),
+            **({"s2d_skip": config.s2d_skip} if config.s2d_skip else {}),
             **width_kwargs(config.width_mult),
         )
         state = create_train_state(

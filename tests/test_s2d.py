@@ -171,3 +171,103 @@ class TestS2DSidecar:
             x, train=False,
         )
         assert out.shape == (1, 64, 32, 2)
+
+
+class TestS2DSkip:
+    """Full-resolution refinement path (``UNet(s2d_skip=K)``).
+
+    The round-5 distillation study located the s2d tier's residual quality
+    gap in the half-res pyramid itself (architecture-bound, not
+    supervision-bound); ``s2d_skip`` adds a BN-free full-res Conv3x3->ReLU
+    path concatenated with the sub-pixel head features and a final full-res
+    Conv3x3. These pin shapes, the moved zero-init contract, fold parity,
+    and the sidecar round-trip.
+    """
+
+    def test_shapes_and_param_layout(self):
+        model = UNet(s2d_stem=True, s2d_skip=8, **TINY)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        p = variables["params"]
+        # head emits 4*K channels for depth-to-space into K full-res feats
+        assert p["out"]["kernel"].shape[-1] == 32
+        # full-res path: 1 input channel -> K, then concat(K + K) -> out
+        assert p["s2d_skip_conv"]["kernel"].shape == (3, 3, 1, 8)
+        assert p["s2d_refine"]["kernel"].shape == (3, 3, 16, 1)
+        out = model.apply(variables, jnp.zeros((2, 256, 64, 1)), train=False)
+        assert out.shape == (2, 256, 64, 1)
+        for shape in [(1, 257, 126, 1), (1, 257, 33, 1)]:
+            out = model.apply(variables, jnp.zeros(shape), train=False)
+            assert out.shape == shape
+
+    def test_residual_mask_identity_at_init(self):
+        # zero_out_init moves to the final refine conv: a fresh refined
+        # s2d mask net must still be an exact pass-through
+        model = ComplexMaskUNet(
+            s2d_stem=True, s2d_skip=8, residual=True, zero_out_init=True,
+            mask_bound=8.0, **TINY
+        )
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 64, 32, 3)),
+            jnp.float32,
+        )
+        variables = model.init(jax.random.key(0), x)
+        # intermediate head conv is NOT zero-init (a zero head would also
+        # zero the refine conv's input gradient to the whole pyramid)
+        assert float(jnp.abs(variables["params"]["out"]["kernel"]).sum()) > 0
+        assert float(
+            jnp.abs(variables["params"]["s2d_refine"]["kernel"]).sum()
+        ) == 0.0
+        mask = model.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(mask[..., 0]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mask[..., 1]), 0.0, atol=1e-6)
+
+    def test_fold_parity_including_odd_shape(self):
+        rng = np.random.default_rng(4)
+        model = UNet(s2d_stem=True, s2d_skip=8, dtype=jnp.bfloat16, **TINY)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        variables = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: (
+                jnp.asarray(
+                    0.5 + np.abs(rng.standard_normal(np.asarray(leaf).shape)),
+                    jnp.float32,
+                )
+                if "bn" in "/".join(
+                    str(p.key) for p in path if hasattr(p, "key")
+                )
+                and str(path[-1].key) in ("var", "scale")
+                else leaf
+            ),
+            variables,
+        )
+        folded_model, folded_vars = fold_runner_inputs(model, variables)
+        assert folded_model.s2d_skip == 8
+        for shape in [(2, 64, 32, 1), (1, 257, 33, 1)]:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            ref = model.apply(variables, x, train=False)
+            got = folded_model.apply(folded_vars, x, train=False)
+            assert got.shape == ref.shape
+            assert _rel(got, ref) < 2e-2  # bf16 rounding
+
+    def test_export_load_roundtrip(self, tmp_path):
+        from audiodenoiser_tpu.eval.runner import load_model_from_path
+        from audiodenoiser_tpu.models.unet import width_kwargs
+        from audiodenoiser_tpu.train.checkpoints import export_model
+
+        model = ComplexMaskUNet(
+            s2d_stem=True, s2d_skip=8, residual=True, mask_bound=8.0,
+            **width_kwargs(0.25)
+        )
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        path = os.path.join(tmp_path, "best_model_mixed.ckpt")
+        export_model(path, variables["params"], variables["batch_stats"])
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump({"mask_bound": 8.0, "residual": True,
+                       "s2d_stem": True, "s2d_skip": 8,
+                       "width_mult": 0.25}, f)
+        loaded, lv = load_model_from_path(path)
+        assert loaded.s2d_stem and loaded.s2d_skip == 8
+        out = loaded.apply(
+            {"params": lv["params"], "batch_stats": lv["batch_stats"]},
+            jnp.zeros((1, 64, 32, 3), jnp.float32), train=False,
+        )
+        assert out.shape == (1, 64, 32, 2)
