@@ -24,7 +24,8 @@ import json
 import time
 
 
-def measure(s2d: bool, batch_size: int, iters: int, warmup: int) -> dict:
+def measure(s2d: bool, batch_size: int, iters: int, warmup: int,
+            s2d_skip: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +36,7 @@ def measure(s2d: bool, batch_size: int, iters: int, warmup: int) -> dict:
 
     sr, hop, n_fft = 8000, 128, 512
     n_samples = sr * 2
-    model = UNet(dtype=jnp.bfloat16, s2d_stem=s2d)
+    model = UNet(dtype=jnp.bfloat16, s2d_stem=s2d, s2d_skip=s2d_skip)
     variables = init_variables(model, jax.random.key(0), (1, 64, 64, 1))
     model, variables = fold_runner_inputs(model, variables)
     precision = "pallas" if jax.default_backend() == "tpu" else "fft"
@@ -78,7 +79,8 @@ def measure(s2d: bool, batch_size: int, iters: int, warmup: int) -> dict:
 
     frames = batch_size * (1 + n_samples // hop) * iters
     row = {
-        "variant": "s2d_stem" if s2d else "plain",
+        "variant": (f"s2d_stem+skip{s2d_skip}" if s2d and s2d_skip
+                    else "s2d_stem" if s2d else "plain"),
         "frames_per_sec": round(frames / dt, 1),
     }
     if flops is not None:
@@ -96,6 +98,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--s2d_skip", type=int, default=0,
+                   help="also measure the full-res refinement tier "
+                   "(UNet s2d_skip=K) as a third row")
     args = p.parse_args(argv)
 
     from audiodenoiser_tpu.utils.backend import require_device
@@ -108,6 +113,9 @@ def main(argv=None):
         measure(False, args.batch_size, args.iters, args.warmup),
         measure(True, args.batch_size, args.iters, args.warmup),
     ]
+    if args.s2d_skip:
+        rows.append(measure(True, args.batch_size, args.iters, args.warmup,
+                            s2d_skip=args.s2d_skip))
     for r in rows:
         print(json.dumps(r))
     speedup = rows[1]["frames_per_sec"] / rows[0]["frames_per_sec"]
