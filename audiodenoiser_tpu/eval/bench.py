@@ -21,7 +21,7 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
               warmup: int = 3, mode: str = "noisy_phase",
               pipelined: bool = True, width_mult: float = 1.0,
               pallas_deconv: bool = False, fold: bool = True,
-              s2d: bool = False) -> dict:
+              s2d: bool = False, s2d_skip: int = 0) -> dict:
     """OOM-resilient wrapper: 1024 is the measured v5e-1 sweet spot, but on
     smaller-HBM devices/backends the default must degrade instead of
     crashing (ADVICE r2) — halve the batch on RESOURCE_EXHAUSTED."""
@@ -29,7 +29,7 @@ def run_bench(batch_size: int = 1024, clip_seconds: float = 2.0, iters: int = 20
         try:
             return _run_bench_once(batch_size, clip_seconds, iters, warmup,
                                    mode, pipelined, width_mult,
-                                   pallas_deconv, fold, s2d)
+                                   pallas_deconv, fold, s2d, s2d_skip)
         except Exception as e:
             # the axon relay wraps AOT-compile OOM as INTERNAL with this
             # wording, not RESOURCE_EXHAUSTED (measured round 3)
@@ -47,7 +47,7 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
                     width_mult: float = 1.0,
                     pallas_deconv: bool = False,
                     fold: bool = True,
-                    s2d: bool = False) -> dict:
+                    s2d: bool = False, s2d_skip: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -67,6 +67,9 @@ def _run_bench_once(batch_size: int, clip_seconds: float, iters: int,
         # the --s2d_stem efficiency tier (models/unet.py): measured 3.07x
         # fused throughput at -0.3..-1.0 dB per cell (WORKFLOW_RUN r4)
         wkw["s2d_stem"] = True
+        if s2d_skip:
+            # + the full-res refinement path (--s2d_skip, round 5)
+            wkw["s2d_skip"] = s2d_skip
     if mode == "complex_mask":
         from audiodenoiser_tpu.models import ComplexMaskUNet
 
@@ -455,6 +458,13 @@ def main(argv=None):
         result["s2d_frames_per_sec"] = s2d["value"]
         if "infer_pct_bf16_peak" in s2d:
             result["s2d_pct_bf16_peak"] = s2d["infer_pct_bf16_peak"]
+        # the refined tier (--s2d_skip 16, round 5): full-res refinement
+        # path priced at ~10% of the bare-s2d throughput
+        skip = run_bench(args.batch_size, args.clip_seconds,
+                         max(5, args.iters // 2), mode=args.mode,
+                         pipelined=not args.latency, fold=args.fold,
+                         s2d=True, s2d_skip=16)
+        result["s2d_skip16_frames_per_sec"] = skip["value"]
         # the tier's training wall too ("~2x" lived only in prose before
         # r5): same donated train step, s2d stem
         if not args.no_train:
